@@ -78,11 +78,9 @@ def partition_oracle(p: EnergyParams, S: np.ndarray, cut: int | None = None):
             paired[i] = paired[j] = True
         free = ~paired
         for a in range(n):
-            if not free[a]:
-                continue
             b = a
             while b < n and free[b]:
-                pu[a, a:b + 1] += w
+                pu[a, b] += w
                 b += 1
     bpp /= Z
     pu /= Z
