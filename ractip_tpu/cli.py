@@ -1,0 +1,173 @@
+"""RactIP-compatible command-line interface.
+
+Flag surface mirrors the reference's gengetopt spec (reference src/ractip.ggo:
+7-58) and the output format mirrors RactIP::run (reference src/ractip.cpp:
+1605-1669): FASTA headers + sequences + dot-bracket rows, an optional
+`(E: JS= ...)` energy line, and an optional `z-score: z1, z2` line.
+
+TPU-native extensions:
+  --batch       run the z-score decoy sweep batched on device (default);
+                --no-batch falls back to the reference's sequential loop
+                through the exact host branch-and-bound path.
+  --chunk       device batch chunk size for the decoy sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .io.fasta import load_fasta
+from .params.tables import get_default_params
+from .pipeline.ractip import Options, predict
+from .pipeline import batched
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="ractip-tpu",
+        description="RactIP-TPU: RNA-RNA interaction prediction "
+                    "(TPU-native reimplementation of RactIP).")
+    ap.add_argument("fasta", nargs="+",
+                    help="two FASTA files, or one FASTA with two records")
+    ap.add_argument("-a", "--alpha", type=float, default=0.7,
+                    help="weight for hybridization")
+    ap.add_argument("-b", "--beta", type=float, default=0.0,
+                    help="weight for accessibility")
+    ap.add_argument("-t", "--fold-th", type=float, default=0.5,
+                    help="threshold for base-pairing probabilities")
+    ap.add_argument("-u", "--hybridize-th", type=float, default=0.1,
+                    help="threshold for hybridization probabilities")
+    ap.add_argument("-s", "--acc-th", type=float, default=0.003,
+                    help="threshold for accessible probabilities")
+    ap.add_argument("--acc-max", action="store_true",
+                    help="optimize for accessibility instead of internal "
+                         "secondary structures")
+    ap.add_argument("--acc-max-ss", action="store_true",
+                    help="additional prediction of internal secondary "
+                         "structures")
+    ap.add_argument("--acc-num", type=int, default=1,
+                    help="the number of accessible regions (0=unlimited)")
+    ap.add_argument("--max-w", type=int, default=15,
+                    help="maximum length of accessible regions")
+    ap.add_argument("--min-w", type=int, default=5,
+                    help="minimum length of accessible regions")
+    ap.add_argument("--zscore", type=int, default=0, choices=(0, 1, 2, 12),
+                    help="z-score via dishuffling (1=1st, 2=2nd, 12=both)")
+    ap.add_argument("--num-shuffling", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-c", "--use-constraint", action="store_true",
+                    help="use structure constraints")
+    ap.add_argument("--force-constraint", action="store_true",
+                    help="enforce structure constraints")
+    ap.add_argument("--allow-isolated", action="store_true",
+                    help="allow isolated base-pairs")
+    ap.add_argument("-e", "--show-energy", action="store_true",
+                    help="free energy of the predicted joint structure")
+    ap.add_argument("-P", "--param-file", type=str, default=None,
+                    help="energy parameter file (Vienna format)")
+    ap.add_argument("--no-pk", action="store_true",
+                    help="no constraints for internal pseudoknots")
+    ap.add_argument("-r", "--rip", type=str, default=None,
+                    help="import posterior probabilities from a RIP result")
+    ap.add_argument("--duplex", action="store_true",
+                    help="use the pure-duplex hybridization model")
+    ap.add_argument("--no-bl", action="store_true",
+                    help="do not use BL parameters")
+    ap.add_argument("--batch", dest="batch", action="store_true", default=True,
+                    help="batch the z-score sweep on device (default)")
+    ap.add_argument("--no-batch", dest="batch", action="store_false")
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="device batch chunk size")
+    return ap
+
+
+def options_from_args(args) -> Options:
+    return Options(
+        alpha=args.alpha, beta=args.beta, th_ss=args.fold_th,
+        th_hy=args.hybridize_th, th_ac=args.acc_th,
+        max_w=args.max_w, min_w=args.min_w, acc_num=args.acc_num,
+        acc_max=args.acc_max, acc_max_ss=args.acc_max_ss,
+        in_pk=not args.no_pk, stacking=not args.allow_isolated,
+        force_constraint=args.force_constraint,
+        zscore=args.zscore, num_shuffling=args.num_shuffling,
+        seed=args.seed, show_energy=args.show_energy,
+        use_constraint=args.use_constraint, use_pf_duplex=args.duplex)
+
+
+def _fmt_sum(parts: list[float]) -> str:
+    out = f"{parts[0]:g}"
+    for p in parts[1:]:
+        out += ("+" if p >= 0 else "") + f"{p:g}"
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.param_file:
+        print("ractip-tpu: -P/--param-file is not supported yet "
+              "(BL* tables are built in)", file=sys.stderr)
+        return 1
+    if args.no_bl:
+        print("ractip-tpu: --no-bl is not supported yet "
+              "(only the BL* parameter set ships)", file=sys.stderr)
+        return 1
+    if args.use_constraint:
+        print("ractip-tpu: -c/--use-constraint is not supported yet; "
+              "--force-constraint is", file=sys.stderr)
+        return 1
+
+    if len(args.fasta) >= 2:
+        fa1 = load_fasta(args.fasta[0])[0]
+        fa2 = load_fasta(args.fasta[1])[0]
+    else:
+        recs = load_fasta(args.fasta[0])
+        if len(recs) < 2:
+            print(f"{args.fasta[0]}: Format error", file=sys.stderr)
+            return 1
+        fa1, fa2 = recs[0], recs[1]
+
+    opts = options_from_args(args)
+    params = get_default_params()
+
+    if args.rip:
+        # external probability source; no accessibility tables available
+        from .io.rip import load_rip
+        from .pipeline.ractip import Posteriors, solve_pair
+        import dataclasses as _dc
+        opts = _dc.replace(opts, max_w=0, min_w=0)
+        bp1, bp2, hp = load_rip(args.rip, len(fa1.seq), len(fa2.seq))
+        post = Posteriors.from_matrices(bp1, bp2, hp)
+        r1, r2, _obj, _, _ = solve_pair(params, fa1, fa2, opts, post=post)
+        print(f">{fa1.name}\n{fa1.seq}\n{r1}")
+        print(f">{fa2.name}\n{fa2.seq}\n{r2}")
+        return 0
+
+    if args.zscore in (1, 2, 12) and args.batch:
+        z, zs, stats = batched.zscore_batch(
+            fa1, fa2, opts, params, chunk=args.chunk)
+        r1, r2 = stats["brackets"]
+        print(f">{fa1.name}\n{fa1.seq}\n{r1}")
+        print(f">{fa2.name}\n{fa2.seq}\n{r2}")
+        if args.show_energy:
+            print(f"(E: JS= {stats['e']:g}, JS-S1-S2= {stats['es']:g})")
+        print(f"z-score: {z:g}, {zs:g}")
+        return 0
+
+    pred = predict(fa1, fa2, opts, params)
+    print(f">{fa1.name}\n{fa1.seq}\n{pred.r1}")
+    print(f">{fa2.name}\n{fa2.seq}\n{pred.r2}")
+    if args.show_energy:
+        js = pred.e1 + pred.e2 + pred.e3
+        ss = pred.e1s + pred.e2s
+        print(f"(E: JS= {js:g} = {_fmt_sum([pred.e1, pred.e2, pred.e3])}, "
+              f"S1+S2= {ss:g} = {_fmt_sum([pred.e1s, pred.e2s])})")
+    if pred.zscore is not None:
+        print(f"z-score: {pred.zscore[0]:g}, {pred.zscore[1]:g}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,2 @@
+from .mesh import (SCENARIO_AXES, pad_to_mesh, scenario_mesh,
+                   scenario_sharding, shard_scenarios, sharded_mean_var)

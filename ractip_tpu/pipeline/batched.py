@@ -1,0 +1,247 @@
+"""Fully-batched on-device prediction: the TPU replacement for the reference's
+sequential pipeline re-runs.
+
+The reference's batch workloads re-run its whole pipeline per instance in a
+Python-equivalent loop (z-score: 1000 decoys, reference src/ractip.cpp:
+1624-1669; corpus sweeps: one process per pair).  Here the entire per-pair
+pipeline -- three partition-function DPs, threshold sparsification, PDHG LP,
+rounding/repair -- is one jitted function vmapped over the batch, so a chip
+processes hundreds of instances per dispatch and a mesh shards the batch axis
+across chips (parallel.mesh).
+
+Host work is limited to encoding, bracket decoding, and scalar energy
+evaluation of the decoded structures (O(n) per instance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fasta import Fasta
+from ..ops import eos
+from ..ops.accessibility import accessibility
+from ..ops.cofold import cofold_hybrid_probs
+from ..ops.duplex import hybrid_probs
+from ..ops.mccaskill import base_pair_probs
+from ..ops.seq import bucket_length, encode
+from ..params.tables import EnergyParams, get_default_params
+from ..solver.candidates import JointProblem, SolverConfig
+from ..solver.device import build_problem_device, solve_joint_device
+from .ractip import Options
+from .shuffle import dinuc_shuffle
+
+DEFAULT_BUCKETS = (64, 64, 64, 128, 128)
+
+
+def _ss_cfg(cfg: SolverConfig) -> SolverConfig:
+    """Config of the secondary-structure-only model (reference solve_ss)."""
+    return SolverConfig(min_w=0, max_w=0, in_pk=False,
+                        stacking=cfg.stacking, th_ss=cfg.th_ss)
+
+
+_PREDICT_CACHE: dict = {}
+
+
+def predict_device(params: EnergyParams, S1, n1, S2, n2, cfg: SolverConfig,
+                   buckets=DEFAULT_BUCKETS, iters: int = 3000,
+                   use_pf_duplex: bool = False, with_ss: bool = False,
+                   ss_buckets: int = 64):
+    """Batched end-to-end prediction on device (jitted per parameter set).
+
+    S1: [B, L1] padded encodings, n1: [B] lengths (same for S2).  Returns a
+    dict of stacked results: the JointProblem pytree, binary solution tuple,
+    objectives, LP bounds, repair violations, and candidate-overflow counts.
+    With with_ss=True also solves the x-only secondary-structure model per
+    sequence (for the z-score's e1s/e2s statistic).
+
+    EnergyParams holds host numpy tables (not a pytree), so it is closed over
+    and the jitted executable cached per (params identity, static config).
+    """
+    key = (id(params), cfg, buckets, iters, use_pf_duplex, with_ss, ss_buckets)
+    fn = _PREDICT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _predict_device, params, cfg, buckets, iters, use_pf_duplex,
+            with_ss, ss_buckets))
+        _PREDICT_CACHE[key] = fn
+    return fn(S1, n1, S2, n2)
+
+
+def _predict_device(params: EnergyParams, cfg: SolverConfig, buckets,
+                    iters: int, use_pf_duplex: bool, with_ss: bool,
+                    ss_buckets: int, S1, n1, S2, n2):
+    L1, L2 = S1.shape[1], S2.shape[1]
+    max_w = max(1, cfg.max_w)
+
+    def one(s1, m1, s2, m2):
+        bpp1 = base_pair_probs(params, s1, m1)
+        bpp2 = base_pair_probs(params, s2, m2)
+        if use_pf_duplex:
+            hp = hybrid_probs(params, s1, s2, m1, m2)
+        else:
+            hp = cofold_hybrid_probs(params, s1, s2, m1, m2)
+        if cfg.accessibility:
+            pu1 = accessibility(params, s1, m1, max_w)
+            pu2 = accessibility(params, s2, m2, max_w)
+        else:
+            pu1 = pu2 = None
+        prob = build_problem_device(bpp1, bpp2, hp, pu1, pu2, m1, m2,
+                                    cfg, buckets)
+        u, obj, bound, mv = solve_joint_device(prob, cfg, L1, L2, iters)
+        overflow = jnp.stack([
+            jnp.sum(jnp.triu(bpp1, 1) > cfg.th_ss) - jnp.sum(prob.xm),
+            jnp.sum(jnp.triu(bpp2, 1) > cfg.th_ss) - jnp.sum(prob.ym),
+            jnp.sum(hp > cfg.th_hy) - jnp.sum(prob.zm),
+        ]).astype(jnp.int32)
+        out = dict(prob=prob, u=u, obj=obj, bound=bound, mv=mv,
+                   overflow=overflow)
+        if with_ss:
+            scfg = _ss_cfg(cfg)
+            hz = jnp.zeros((1, 1), bpp1.dtype)
+            kb = (ss_buckets, 8, 8, 8, 8)
+            p1 = build_problem_device(bpp1, jnp.zeros((1, 1), bpp1.dtype), hz,
+                                      None, None, m1, jnp.int32(1), scfg, kb)
+            u1, o1, _, v1 = solve_joint_device(p1, scfg, L1, 1, iters)
+            p2 = build_problem_device(bpp2, jnp.zeros((1, 1), bpp2.dtype), hz,
+                                      None, None, m2, jnp.int32(1), scfg, kb)
+            u2, o2, _, v2 = solve_joint_device(p2, scfg, L2, 1, iters)
+            out["ss1"] = dict(prob=p1, u=u1, obj=o1, mv=v1)
+            out["ss2"] = dict(prob=p2, u=u2, obj=o2, mv=v2)
+        return out
+
+    return jax.vmap(one)(S1, n1, S2, n2)
+
+
+def _tree_index(tree, b: int):
+    return jax.tree_util.tree_map(lambda t: np.asarray(t[b]), tree)
+
+
+def decode_brackets(prob, u, n1: int, n2: int, in_pk: bool):
+    """Host bracket decode of one instance (numpy leaves)."""
+    r1, r2 = ["."] * n1, ["."] * n2
+    for k in np.where(u[2] > 0.5)[0]:
+        r1[int(prob.zi[k])] = "["
+        r2[int(prob.zj[k])] = "]"
+    if in_pk:
+        for k in np.where(u[0] > 0.5)[0]:
+            r1[int(prob.xi[k])] = "("
+            r1[int(prob.xj[k])] = ")"
+        for k in np.where(u[1] > 0.5)[0]:
+            r2[int(prob.yi[k])] = "("
+            r2[int(prob.yj[k])] = ")"
+    return "".join(r1), "".join(r2)
+
+
+@dataclasses.dataclass
+class BatchResult:
+    r1: list[str]
+    r2: list[str]
+    objective: np.ndarray
+    bound: np.ndarray
+    violation: np.ndarray
+    overflow: np.ndarray
+    energies: np.ndarray | None = None   # [B, 5]: e1 e2 e3 e1s e2s (kcal/mol)
+
+
+def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
+                  opts: Options | None = None, chunk: int = 256,
+                  iters: int = 3000, buckets=DEFAULT_BUCKETS,
+                  want_energy: bool = False) -> BatchResult:
+    """Predict joint structures for a list of (seq1, seq2) on device.
+
+    All pairs share one padded shape (the max bucket), so the whole sweep is
+    one compiled executable; chunking bounds device memory.
+    """
+    opts = opts or Options()
+    cfg = opts.solver_cfg()
+    B = len(pairs)
+    L1 = max(bucket_length(len(a)) for a, _ in pairs)
+    L2 = max(bucket_length(len(b)) for _, b in pairs)
+    S1 = np.stack([encode(a, L1) for a, _ in pairs])
+    S2 = np.stack([encode(b, L2) for _, b in pairs])
+    n1 = np.array([len(a) for a, _ in pairs], np.int32)
+    n2 = np.array([len(b) for _, b in pairs], np.int32)
+
+    outs = []
+    for s in range(0, B, chunk):
+        e = min(B, s + chunk)
+        outs.append(predict_device(
+            params, jnp.asarray(S1[s:e]), jnp.asarray(n1[s:e]),
+            jnp.asarray(S2[s:e]), jnp.asarray(n2[s:e]), cfg,
+            buckets=buckets, iters=iters, use_pf_duplex=opts.use_pf_duplex,
+            with_ss=want_energy))
+    out = jax.tree_util.tree_map(lambda *t: np.concatenate(t), *outs) \
+        if len(outs) > 1 else jax.tree_util.tree_map(np.asarray, outs[0])
+
+    r1s, r2s, energies = [], [], np.zeros((B, 5))
+    for b in range(B):
+        prob = _tree_index(out["prob"], b)
+        u = tuple(np.asarray(t[b]) for t in out["u"])
+        r1, r2 = decode_brackets(prob, u, int(n1[b]), int(n2[b]),
+                                 cfg.in_pk and cfg.structure)
+        r1s.append(r1)
+        r2s.append(r2)
+        if want_energy:
+            Sa, Sb = encode(pairs[b][0]), encode(pairs[b][1])
+            e3 = eos.duplex_structure_energy(params, Sa, Sb, r1, r2) / 100.0
+            e1 = eos.structure_energy(params, Sa, eos.parse_pairs(r1)) / 100.0
+            e2 = eos.structure_energy(params, Sb, eos.parse_pairs(r2)) / 100.0
+            s1p = _tree_index(out["ss1"]["prob"], b)
+            s1u = tuple(np.asarray(t[b]) for t in out["ss1"]["u"])
+            rs1, _ = decode_brackets(s1p, s1u, int(n1[b]), 1, True)
+            s2p = _tree_index(out["ss2"]["prob"], b)
+            s2u = tuple(np.asarray(t[b]) for t in out["ss2"]["u"])
+            rs2, _ = decode_brackets(s2p, s2u, int(n2[b]), 1, True)
+            e1s = eos.structure_energy(params, Sa, eos.parse_pairs(rs1)) / 100.0
+            e2s = eos.structure_energy(params, Sb, eos.parse_pairs(rs2)) / 100.0
+            energies[b] = (e1, e2, e3, e1s, e2s)
+
+    return BatchResult(
+        r1=r1s, r2=r2s, objective=np.asarray(out["obj"]),
+        bound=np.asarray(out["bound"]), violation=np.asarray(out["mv"]),
+        overflow=np.asarray(out["overflow"]),
+        energies=energies if want_energy else None)
+
+
+def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
+                 params: EnergyParams | None = None, chunk: int = 256,
+                 iters: int = 3000, buckets=DEFAULT_BUCKETS):
+    """Batched z-score (reference src/ractip.cpp:1624-1669).
+
+    Returns (z, zs, stats): z over e = e1+e2+e3, zs over es = e - e1s - e2s,
+    computed against num_shuffling dinucleotide-shuffled decoys whose whole
+    pipelines run batched on device.
+    """
+    opts = opts or Options(zscore=12)
+    params = params or get_default_params()
+    rng = np.random.default_rng(opts.seed if opts.seed else None)
+
+    real = predict_batch(params, [(fa1.seq, fa2.seq)], opts, chunk=1,
+                         iters=iters, buckets=buckets, want_energy=True)
+    e1, e2, e3, e1s, e2s = real.energies[0]
+    e = e1 + e2 + e3
+    es = e - e1s - e2s
+
+    decoys = []
+    for _ in range(opts.num_shuffling):
+        t1 = dinuc_shuffle(fa1.seq, rng) if opts.zscore in (1, 12) else fa1.seq
+        t2 = dinuc_shuffle(fa2.seq, rng) if opts.zscore in (2, 12) else fa2.seq
+        decoys.append((t1, t2))
+    batch = predict_batch(params, decoys, opts, chunk=chunk, iters=iters,
+                          buckets=buckets, want_energy=True)
+    ee = batch.energies[:, 0] + batch.energies[:, 1] + batch.energies[:, 2]
+    ees = ee - batch.energies[:, 3] - batch.energies[:, 4]
+
+    def zstat(x0, xs):
+        m, v = float(np.mean(xs)), float(np.var(xs))
+        return (x0 - m) / np.sqrt(v) if v > 0 else np.inf
+
+    stats = dict(e=e, es=es, decoy_e=ee, decoy_es=ees,
+                 violation=batch.violation, overflow=batch.overflow,
+                 brackets=(real.r1[0], real.r2[0]))
+    return zstat(e, ee), zstat(es, ees), stats

@@ -87,6 +87,18 @@ class Posteriors:
         else:
             self.pu1 = self.pu2 = None
 
+    @classmethod
+    def from_matrices(cls, bpp1, bpp2, hp, pu1=None, pu2=None):
+        """External probability source (e.g. io.rip tables, reference
+        src/ractip.cpp:461-514); accessibility defaults to unavailable."""
+        self = cls.__new__(cls)
+        self.n1, self.n2 = bpp1.shape[0], bpp2.shape[0]
+        self.L1, self.L2 = bucket_length(self.n1), bucket_length(self.n2)
+        self.bpp1, self.bpp2, self.hp = (np.asarray(bpp1), np.asarray(bpp2),
+                                         np.asarray(hp))
+        self.pu1, self.pu2 = pu1, pu2
+        return self
+
 
 def _decode(prob: JointProblem, u, n1: int, n2: int, in_pk: bool):
     r1, r2 = ["."] * n1, ["."] * n2

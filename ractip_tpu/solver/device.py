@@ -1,0 +1,204 @@
+"""Device-side problem assembly and batched integral solving.
+
+The host path (candidates.build_problem + bnb.solve_joint) gives exact,
+certified optima for single headline pairs.  Batch workloads -- the 1000-decoy
+z-score sweep (reference src/ractip.cpp:1624-1669) and corpus sweeps -- need
+the *entire* per-instance pipeline to live inside one jit so it can be vmapped
+and sharded over a device mesh.  This module provides that:
+
+  build_problem_device  -- threshold sparsification as top-K selection with
+                           static candidate buckets (the trace-time analogue of
+                           the reference's p > theta column scan,
+                           src/ractip.cpp:551-653);
+  round_and_repair      -- jittable integralization: round the PDHG iterate,
+                           then a drop-only greedy repair loop (each step drops
+                           the lowest-coefficient candidate participating in a
+                           violated row) that terminates at a feasible binary
+                           point;
+  solve_joint_device    -- PDHG + round_and_repair in one jittable call,
+                           vmappable over stacked JointProblem pytrees.
+
+The drop-only repair is exact whenever the LP relaxation is integral (typical
+for these pairing polytopes); tests/test_batched.py quantifies the objective
+gap against the host branch-and-bound on the benchmark corpus.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .candidates import JointProblem, SolverConfig
+from .joint_lp import apply_A, apply_AT, make_ops, pdhg_solve, rhs
+
+
+def _topk_select(score: jnp.ndarray, valid: jnp.ndarray, th: float, K: int):
+    """Top-K entries of a flattened score matrix above threshold th.
+
+    Returns (flat_idx[K], val[K], mask[K]); masked slots have val 0.  Selected
+    entries are re-sorted to ascending flat index so candidate order is
+    deterministic (mirrors the reference's column-scan order closely enough
+    for reproducibility; the optimum is order-independent).
+    """
+    flat = jnp.where(valid, score, -jnp.inf).reshape(-1)
+    if flat.shape[0] < K:
+        flat = jnp.concatenate(
+            [flat, jnp.full((K - flat.shape[0],), -jnp.inf, flat.dtype)])
+    val, idx = jax.lax.top_k(flat, K)
+    m = val > th
+    order = jnp.argsort(jnp.where(m, idx, jnp.iinfo(jnp.int32).max))
+    idx = idx[order]
+    val = jnp.where(m[order], val[order], 0.0)
+    return idx, val, m[order].astype(jnp.float32)
+
+
+def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
+                         cfg: SolverConfig,
+                         buckets: tuple[int, int, int, int, int]) -> JointProblem:
+    """Trace-time JointProblem assembly (static candidate buckets).
+
+    Inputs are the posterior matrices as produced by the ops engines;
+    n1/n2 may be traced.  Equivalent semantics to candidates.build_problem
+    without forced-constraint strings (batch workloads never carry them).
+    """
+    kx, ky, kz, kv, kw = buckets
+    L1, L2 = bpp1.shape[0], bpp2.shape[0]
+
+    def intra(bpp, n, L, K):
+        I = jnp.arange(L)[:, None]
+        J = jnp.arange(L)[None, :]
+        valid = (I < J) & (J < n)
+        idx, p, m = _topk_select(bpp, valid, cfg.th_ss, K)
+        i, j = idx // L, idx % L
+        c = jnp.where(m > 0, p - cfg.th_ss, 0.0)
+        return i.astype(jnp.int32), j.astype(jnp.int32), c.astype(jnp.float32), m
+
+    if cfg.structure:
+        xi, xj, xc, xm = intra(bpp1, n1, L1, kx)
+        yi, yj, yc, ym = intra(bpp2, n2, L2, ky)
+    else:
+        zzi = jnp.zeros((kx,), jnp.int32)
+        xi, xj, xc, xm = zzi, zzi, jnp.zeros((kx,)), jnp.zeros((kx,))
+        zzy = jnp.zeros((ky,), jnp.int32)
+        yi, yj, yc, ym = zzy, zzy, jnp.zeros((ky,)), jnp.zeros((ky,))
+
+    I1 = jnp.arange(L1)[:, None]
+    I2 = jnp.arange(L2)[None, :]
+    idx, p, zm = _topk_select(hp, (I1 < n1) & (I2 < n2), cfg.th_hy, kz)
+    zi = (idx // L2).astype(jnp.int32)
+    zj = (idx % L2).astype(jnp.int32)
+    zc = jnp.where(zm > 0, cfg.alpha * (p - cfg.th_hy), 0.0).astype(jnp.float32)
+
+    def regions(pu, n, L, K):
+        # widths min_w..max_w; pu column wd = width-wd window at start i
+        wn = cfg.max_w - cfg.min_w + 1
+        widths = cfg.min_w + jnp.arange(wn)[None, :]              # [1, WN]
+        starts = jnp.arange(L)[:, None]                           # [L, 1]
+        ends = starts + widths - 1
+        vals = jax.lax.dynamic_slice(
+            pu, (0, cfg.min_w), (L, wn)) if pu.shape[1] >= cfg.min_w + wn \
+            else jnp.zeros((L, wn), pu.dtype)
+        idx, u, m = _topk_select(vals, ends < n, cfg.th_ac, K)
+        i = (idx // wn).astype(jnp.int32)
+        q = i + cfg.min_w + (idx % wn).astype(jnp.int32) - 1
+        c = jnp.where(m > 0, cfg.beta * (u - cfg.th_ac), 0.0)
+        return i, jnp.where(m > 0, q, 0).astype(jnp.int32), c.astype(jnp.float32), m
+
+    if cfg.accessibility and pu1 is not None:
+        vp, vq, vc, vm = regions(pu1, n1, L1, kv)
+        wp, wq, wc, wm = regions(pu2, n2, L2, kw)
+    else:
+        zv = jnp.zeros((kv,), jnp.int32)
+        vp, vq, vc, vm = zv, zv, jnp.zeros((kv,)), jnp.zeros((kv,))
+        zw = jnp.zeros((kw,), jnp.int32)
+        wp, wq, wc, wm = zw, zw, jnp.zeros((kw,)), jnp.zeros((kw,))
+
+    return JointProblem(
+        xi=xi, xj=xj, xc=xc, xm=xm, yi=yi, yj=yj, yc=yc, ym=ym,
+        zi=zi, zj=zj, zc=zc, zm=zm, vp=vp, vq=vq, vc=vc, vm=vm,
+        wp=wp, wq=wq, wc=wc, wm=wm,
+        xlb=jnp.zeros((kx,), jnp.float32), ylb=jnp.zeros((ky,), jnp.float32),
+        zlb=jnp.zeros((kz,), jnp.float32),
+        n1=jnp.asarray(n1, jnp.int32), n2=jnp.asarray(n2, jnp.int32))
+
+
+def round_and_repair(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
+                     u_lp, tol: float = 1e-3):
+    """Round an LP iterate and greedily drop until feasible (jittable).
+
+    Returns (u, n_dropped, max_violation).  max_violation is 0 when the repair
+    converged to a feasible binary point (it always does unless forced lower
+    bounds themselves conflict, which batch problems never carry).
+    """
+    ops = make_ops(p, L1, L2)
+    b = rhs(cfg, ops)
+    masks = (p.xm, p.ym, p.zm, p.vm, p.wm)
+    coefs = (p.xc, p.yc, p.zc, p.vc, p.wc)
+    lbs = (p.xlb, p.ylb, p.zlb, jnp.zeros_like(p.vm), jnp.zeros_like(p.wm))
+    sizes = tuple(m.shape[0] for m in masks)
+
+    u0 = tuple(jnp.maximum(jnp.round(t) * m, l)
+               for t, m, l in zip(u_lp, masks, lbs))
+
+    def viol_of(u):
+        au = apply_A(cfg, ops, u)
+        return {k: (au[k] - b[k] > tol).astype(jnp.float32) for k in au}
+
+    def max_viol(u):
+        au = apply_A(cfg, ops, u)
+        return jnp.max(jnp.stack([jnp.max(au[k] - b[k], initial=0.0)
+                                  for k in au]))
+
+    def state_of(u):
+        v = viol_of(u)
+        nviol = sum(jnp.sum(t) for t in v.values())
+        return v, nviol
+
+    def cond(st):
+        u, dropped, nviol, stuck = st
+        return (nviol > 0) & (~stuck)
+
+    def step(st):
+        u, dropped, _, _ = st
+        v = viol_of(u)
+        g = apply_AT(cfg, ops, v)          # signed participation per candidate
+        flat_g = jnp.concatenate(g)
+        flat_u = jnp.concatenate(u)
+        flat_c = jnp.concatenate(coefs)
+        flat_lb = jnp.concatenate(lbs)
+        elig = (flat_u > 0.5) & (flat_g > tol) & (flat_lb < 0.5)
+        key = jnp.where(elig, flat_c, jnp.inf)
+        k = jnp.argmin(key)
+        stuck = ~jnp.any(elig)
+        flat_u = jnp.where(stuck, flat_u, flat_u.at[k].set(0.0))
+        parts = []
+        off = 0
+        for s in sizes:
+            parts.append(jax.lax.dynamic_slice(flat_u, (off,), (s,)))
+            off += s
+        u = tuple(parts)
+        _, nviol = state_of(u)
+        return (u, dropped + jnp.where(stuck, 0, 1), nviol, stuck)
+
+    _, nviol0 = state_of(u0)
+    u, dropped, _, _ = jax.lax.while_loop(
+        cond, step, (u0, jnp.int32(0), nviol0, jnp.bool_(False)))
+    return u, dropped, max_viol(u)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "L1", "L2", "iters"))
+def solve_joint_device(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
+                       iters: int = 2000):
+    """One-shot on-device solve: PDHG LP + round/repair.
+
+    Returns (u, objective, lp_bound, max_violation).  objective <= optimum <=
+    lp_bound; the gap is reported so callers can fall back to the host
+    branch-and-bound for instances where it exceeds tolerance.
+    """
+    u_lp, _y, bound = pdhg_solve(p, cfg, L1, L2, iters=iters)
+    u, _dropped, mv = round_and_repair(p, cfg, L1, L2, u_lp)
+    coefs = (p.xc * p.xm, p.yc * p.ym, p.zc * p.zm, p.vc * p.vm, p.wc * p.wm)
+    obj = sum(jnp.vdot(c, t) for c, t in zip(coefs, u))
+    return u, obj, bound, mv
