@@ -106,13 +106,10 @@ def _fmt_sum(parts: list[float]) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.param_file:
-        print("ractip-tpu: -P/--param-file is not supported yet "
-              "(BL* tables are built in)", file=sys.stderr)
-        return 1
     if args.no_bl:
         print("ractip-tpu: --no-bl is not supported yet "
-              "(only the BL* parameter set ships)", file=sys.stderr)
+              "(only the BL* parameter set ships; use -P to override tables)",
+              file=sys.stderr)
         return 1
     if args.use_constraint:
         print("ractip-tpu: -c/--use-constraint is not supported yet; "
@@ -131,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
 
     opts = options_from_args(args)
     params = get_default_params()
+    if args.param_file:
+        # reference: Vienna::read_parameter_file overrides the (BL*-patched)
+        # global tables section by section (src/ractip.cpp:1565-1569)
+        from .params.vienna_par import load_param_file
+        params = load_param_file(args.param_file, params)
 
     if args.rip:
         # external probability source; no accessibility tables available

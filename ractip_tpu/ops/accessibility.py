@@ -35,7 +35,8 @@ from ..constants import MAXLOOP
 from ..params.boltz import BoltzTables, get_boltz
 from ..params.tables import EnergyParams
 from .mccaskill import (FoldFactors, InsideState, OutsideState, W, _shift_down,
-                        _shift_up, fold_factors, inside, outside)
+                        _shift_up, _sig_kernels, adaptive_inside, fold_factors,
+                        inside, outside)
 
 
 def _shift_cols(M: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -74,13 +75,10 @@ def _empty_matrix(smlb: jnp.ndarray, L: int, dtype) -> jnp.ndarray:
 
 def unpaired_probs(ff: FoldFactors, bt: BoltzTables, ins: InsideState,
                    out: OutsideState, n: jnp.ndarray, max_w: int,
-                   dtype=jnp.float32) -> jnp.ndarray:
+                   dtype=jnp.float32, sigma=None) -> jnp.ndarray:
     """pu[a, w] for w in 1..max_w (column 0 unused, kept for direct indexing)."""
     L = ff.fhn.shape[0]
-    sig = jnp.asarray(bt.sigma, dtype)
-    smlb = jnp.asarray(bt.sigma * bt.ml_base, dtype)
-    w2k = jnp.asarray(bt.w2, dtype)
-    bulge_k = jnp.asarray(bt.bulge_kernel, dtype)
+    sig, smlb, w2k, bulge_k = _sig_kernels(bt, sigma, dtype)
     zn = ins.zn
     qb, ob = ins.qb, out.ob
     I = jnp.arange(L)
@@ -205,10 +203,18 @@ def unpaired_probs(ff: FoldFactors, bt: BoltzTables, ins: InsideState,
 
 
 def accessibility(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
-                  max_w: int, dtype=jnp.float32) -> jnp.ndarray:
-    """pu[a, w] = P(window a .. a+w-1 unpaired), w in 1..max_w."""
+                  max_w: int, dtype=jnp.float32, scale_e=None) -> jnp.ndarray:
+    """pu[a, w] = P(window a .. a+w-1 unpaired), w in 1..max_w.
+
+    Adaptive pf scaling per instance (see ops.mccaskill.adaptive_inside)."""
     bt = get_boltz(params)
-    ff = fold_factors(bt, S, n, dtype)
-    ins = inside(ff, bt, n, dtype)
-    out = outside(ff, bt, ins, n, dtype)
-    return unpaired_probs(ff, bt, ins, out, n, max_w, dtype)
+    if scale_e is None:
+        es, ins = adaptive_inside(bt, S, n, dtype)
+    else:
+        es, ins = jnp.asarray(scale_e, dtype), None
+    sig = jnp.exp(-es / jnp.asarray(bt.kt, dtype))
+    ff = fold_factors(bt, S, n, dtype, sig)
+    if ins is None:
+        ins = inside(ff, bt, n, dtype, sig)
+    out = outside(ff, bt, ins, n, dtype, sig)
+    return unpaired_probs(ff, bt, ins, out, n, max_w, dtype, sig)

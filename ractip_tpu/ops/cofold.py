@@ -40,7 +40,8 @@ import numpy as np
 from ..constants import MAXLOOP, PAIR_TYPE, RTYPE, TURN
 from ..params.boltz import BoltzTables, get_boltz
 from ..params.tables import EnergyParams
-from .mccaskill import W, _pad_cols, _sg, _shift_down, _shift_up
+from .mccaskill import (HUGE, SCALE_E0, W, ZHI, ZLO, _pad_cols, _sg,
+                        _shift_down, _shift_up, _sig_kernels)
 
 
 
@@ -77,7 +78,7 @@ class CoFactors(NamedTuple):
 
 
 def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
-               cut: jnp.ndarray, dtype=jnp.float32) -> CoFactors:
+               cut: jnp.ndarray, dtype=jnp.float32, sigma=None) -> CoFactors:
     """Cut-aware factor matrices.  `cut` = index of the first base of strand 2.
 
     Mask conventions: a loop stretch i..k (inclusive of the junctions at both
@@ -97,7 +98,7 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     t = pair_tbl[S[:, None], S[None, :]]
     rt = rtype_tbl[t]
     tv = t > 0
-    sig = bt.sigma
+    sig = jnp.asarray(bt.sigma if sigma is None else sigma, dtype)
     same = ~((I < c) & (c <= J))          # no cut strictly inside (i, j]
     spanning = (I < c) & (c <= J) & tv
 
@@ -132,7 +133,7 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     tetra = jnp.where(span == 4, f(bt.tetra)[key6][:, None], f(1.0))
     valid_hp = tv & (span >= TURN) & same
     fhn = jnp.where(valid_hp, f(hp_ext)[span_c] * mism * tetra, 0.0)
-    fhn = fhn * f(sig) ** (span_c + 2).astype(dtype)
+    fhn = fhn * sig ** (span_c + 2).astype(dtype)
 
     def m5(d):
         """Allow a 5' jump i -> i+d (stretch + junctions must not cross)."""
@@ -142,13 +143,13 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
         """Allow a 3' jump j-d -> j."""
         return ~((J - d < c) & (c <= J))
 
-    pstk = jnp.where(tv & m5(1) & m3(1), f(bt.stack)[t, tr_at(1, -1)] * f(sig ** 2), 0.0)
-    p11 = jnp.where(tv & m5(2) & m3(2), f(bt.int11)[t, tr_at(2, -2), si1, sj1] * f(sig ** 4), 0.0)
-    p21a = jnp.where(tv & m5(2) & m3(3), f(bt.int21)[t, tr_at(2, -3), si1, sj2, sj1] * f(sig ** 5), 0.0)
-    p21b = jnp.where(tv & m5(3) & m3(2), f(bt.int21)[tr_at(3, -2), t, sj1, si1, si2] * f(sig ** 5), 0.0)
-    p22 = jnp.where(tv & m5(3) & m3(3), f(bt.int22)[t, tr_at(3, -3), si1, si2, sj2, sj1] * f(sig ** 6), 0.0)
-    pb15 = jnp.where(tv & m5(2) & m3(1), f(bt.stack)[t, tr_at(2, -1)] * f(bt.bulge[1] * sig ** 3), 0.0)
-    pb13 = jnp.where(tv & m5(1) & m3(2), f(bt.stack)[t, tr_at(1, -2)] * f(bt.bulge[1] * sig ** 3), 0.0)
+    pstk = jnp.where(tv & m5(1) & m3(1), f(bt.stack)[t, tr_at(1, -1)] * sig ** 2, 0.0)
+    p11 = jnp.where(tv & m5(2) & m3(2), f(bt.int11)[t, tr_at(2, -2), si1, sj1] * sig ** 4, 0.0)
+    p21a = jnp.where(tv & m5(2) & m3(3), f(bt.int21)[t, tr_at(2, -3), si1, sj2, sj1] * sig ** 5, 0.0)
+    p21b = jnp.where(tv & m5(3) & m3(2), f(bt.int21)[tr_at(3, -2), t, sj1, si1, si2] * sig ** 5, 0.0)
+    p22 = jnp.where(tv & m5(3) & m3(3), f(bt.int22)[t, tr_at(3, -3), si1, si2, sj2, sj1] * sig ** 6, 0.0)
+    pb15 = jnp.where(tv & m5(2) & m3(1), f(bt.stack)[t, tr_at(2, -1)] * f(bt.bulge[1]) * sig ** 3, 0.0)
+    pb13 = jnp.where(tv & m5(1) & m3(2), f(bt.stack)[t, tr_at(1, -2)] * f(bt.bulge[1]) * sig ** 3, 0.0)
 
     tau = jnp.where(tv, f(bt.term_au)[t], 0.0)
     taur = jnp.where(tr > 0, f(bt.term_au)[tr], 0.0)
@@ -169,7 +170,7 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     fcx = jnp.where(spanning, f(bt.term_au)[rt]
                     * jnp.where(I + 1 < c, d3[rt, si1], 1.0)
                     * jnp.where(J - 1 >= c, d5[rt, sj1], 1.0)
-                    * f(sig ** 2), 0.0)
+                    * sig ** 2, 0.0)
 
     return CoFactors(
         fhn=fhn.astype(dtype), pstk=pstk.astype(dtype), p11=p11.astype(dtype),
@@ -188,10 +189,11 @@ class CoInsideState(NamedTuple):
     q1: jnp.ndarray    # exterior prefix over the whole concatenation
     q2: jnp.ndarray    # exterior suffix
     zn: jnp.ndarray
+    sat: jnp.ndarray   # scalar bool: some DP column hit the HUGE ceiling
 
 
-def _cut_masks(bt: BoltzTables, L: int, cut, dtype):
-    """Precomputed dynamic-cut masks for the column scans."""
+def _cut_masks(bt: BoltzTables, L: int, cut, dtype, sigma=None):
+    """Precomputed dynamic-cut masks for the column scans (traced-sigma safe)."""
     I = jnp.arange(L)
     # M5[d, i] = allow 5' jump i -> i+d (d = 0..W)
     D = jnp.arange(W + 1)[:, None]
@@ -199,11 +201,15 @@ def _cut_masks(bt: BoltzTables, L: int, cut, dtype):
     # decay matrix with unpaired ML run i..k-1 + junction at k not crossing:
     # forbidden iff i < cut <= k
     ik = I
-    Dm = jnp.asarray(
-        np.where(np.arange(L)[None, :] >= np.arange(L)[:, None],
-                 (bt.sigma * bt.ml_base)
-                 ** np.maximum(np.arange(L)[None, :] - np.arange(L)[:, None], 0),
-                 0.0), dtype)
+    d = np.arange(L)[None, :] - np.arange(L)[:, None]
+    if sigma is None:
+        Dm = jnp.asarray(
+            np.where(d >= 0, (bt.sigma * bt.ml_base) ** np.maximum(d, 0), 0.0),
+            dtype)
+    else:
+        smlb = jnp.asarray(sigma, dtype) * jnp.asarray(bt.ml_base, dtype)
+        Dm = jnp.where(jnp.asarray(d >= 0),
+                       smlb ** jnp.asarray(np.maximum(d, 0), dtype), 0.0)
     Dmask = (~((ik[:, None] < cut) & (cut <= ik[None, :]))).astype(dtype)
     D_cut = Dm * Dmask
     # J1[m] = allow a segment/branch junction (m-1 | m): forbidden iff m == cut
@@ -212,13 +218,10 @@ def _cut_masks(bt: BoltzTables, L: int, cut, dtype):
 
 
 def co_inside(ff: CoFactors, bt: BoltzTables, n: jnp.ndarray,
-              cut: jnp.ndarray, dtype=jnp.float32) -> CoInsideState:
+              cut: jnp.ndarray, dtype=jnp.float32, sigma=None) -> CoInsideState:
     L = ff.fhn.shape[0]
-    sig = jnp.asarray(bt.sigma, dtype)
-    smlb = jnp.asarray(bt.sigma * bt.ml_base, dtype)
-    w2k = jnp.asarray(bt.w2, dtype)
-    bulge_k = jnp.asarray(bt.bulge_kernel, dtype)
-    M5, D_cut, J1 = _cut_masks(bt, L, cut, dtype)
+    sig, smlb, w2k, bulge_k = _sig_kernels(bt, sigma, dtype)
+    M5, D_cut, J1 = _cut_masks(bt, L, cut, dtype, sigma)
     c = cut
 
     minn_pad = _pad_cols(ff.minn, left=W)
@@ -227,7 +230,7 @@ def co_inside(ff: CoFactors, bt: BoltzTables, n: jnp.ndarray,
 
     def body(j, st):
         j = jnp.asarray(j, jnp.int32)
-        qb, qm, qm1, qx, q1, Qbuf, qxA = st
+        qb, qm, qm1, qx, q1, Qbuf, qxA, sat = st
         # Qbuf[:, b] = qb column (j - W + b)
 
         def col(M):
@@ -293,26 +296,35 @@ def co_inside(ff: CoFactors, bt: BoltzTables, n: jnp.ndarray,
         qx_sh = jnp.concatenate([jnp.zeros((L, 1), dtype), qx[:, : L - 1]], axis=1)
         qxcol = sig * (qx_prev + onej) + qx_sh @ qbecol + qbecol
 
+        # saturating arithmetic + flag (drives the adaptive-sigma retry)
+        mx = jnp.maximum(jnp.maximum(jnp.max(qbcol), jnp.max(qmcol)),
+                         jnp.maximum(jnp.max(qxcol), q1val))
+        sat = sat | ~(mx < HUGE)
+        hf = jnp.asarray(HUGE, dtype)
+        qbcol, qm1col = jnp.minimum(qbcol, hf), jnp.minimum(qm1col, hf)
+        qmcol, qxcol = jnp.minimum(qmcol, hf), jnp.minimum(qxcol, hf)
+        q1val = jnp.minimum(q1val, hf)
+
         qb = _dus(qb, qbcol[:, None], (0, j))
         qm1 = _dus(qm1, qm1col[:, None], (0, j))
         qm = _dus(qm, qmcol[:, None], (0, j))
         qx = _dus(qx, qxcol[:, None], (0, j))
         q1 = q1.at[j].set(q1val)
         Qbuf = jnp.concatenate([Qbuf[:, 1:], qbcol[:, None]], axis=1)
-        return (qb, qm, qm1, qx, q1, Qbuf, qxA)
+        return (qb, qm, qm1, qx, q1, Qbuf, qxA, sat)
 
     z = jnp.zeros((L, L), dtype)
     st = (z, z, z, z, jnp.zeros((L,), dtype), jnp.zeros((L, W), dtype),
-          jnp.zeros((L,), dtype))
+          jnp.zeros((L,), dtype), jnp.zeros((), bool))
     st = jax.lax.fori_loop(0, c, body, st)
     # qxA[p] = q[p, c-1] (exterior pf of p..c-1 within strand A); empty -> 1
-    qb, qm, qm1, qx, q1, Qbuf, _ = st
+    qb, qm, qm1, qx, q1, Qbuf, _, sat = st
     Iv = jnp.arange(L)
     qxA = _ds(qx, (0, jnp.maximum(c - 1, 0)), (L, 1))[:, 0]
     qxA = jnp.where(Iv < c, qxA, jnp.where(Iv == c, 1.0, 0.0))
-    st = (qb, qm, qm1, qx, q1, Qbuf, qxA)
+    st = (qb, qm, qm1, qx, q1, Qbuf, qxA, sat)
     st = jax.lax.fori_loop(c, L, body, st)
-    qb, qm, qm1, qx, q1, _, qxA = st
+    qb, qm, qm1, qx, q1, _, qxA, sat = st
 
     zn = q1[n - 1]
 
@@ -322,11 +334,12 @@ def co_inside(ff: CoFactors, bt: BoltzTables, n: jnp.ndarray,
         i = L - 1 - k
         s = jnp.sum(qbe[i, :] * q2[1:])
         val = jnp.where(i >= n, 1.0, sig * q2[i + 1] + s)
-        return q2.at[i].set(val)
+        return q2.at[i].set(jnp.minimum(val, jnp.asarray(HUGE, dtype)))
 
     q2 = jax.lax.fori_loop(0, L, body2, jnp.ones((L + 1,), dtype))
 
-    return CoInsideState(qb=qb, qm=qm, qm1=qm1, qx=qx, q1=q1, q2=q2, zn=zn)
+    return CoInsideState(qb=qb, qm=qm, qm1=qm1, qx=qx, q1=q1, q2=q2, zn=zn,
+                         sat=sat)
 
 
 class CoOutsideState(NamedTuple):
@@ -336,16 +349,13 @@ class CoOutsideState(NamedTuple):
 
 def co_outside(ff: CoFactors, bt: BoltzTables, ins: CoInsideState,
                n: jnp.ndarray, cut: jnp.ndarray,
-               dtype=jnp.float32) -> CoOutsideState:
+               dtype=jnp.float32, sigma=None) -> CoOutsideState:
     """Transpose of co_inside.  Reverse column scan split at the cut so the
     exposed-segment adjoints (G_A for strand-A branches, H_B for strand-B
     branches) can be assembled from the completed spanning-pair outer weights."""
     L = ff.fhn.shape[0]
-    sig = jnp.asarray(bt.sigma, dtype)
-    smlb = jnp.asarray(bt.sigma * bt.ml_base, dtype)
-    w2k = jnp.asarray(bt.w2, dtype)
-    bulge_k = jnp.asarray(bt.bulge_kernel, dtype)
-    M5, D_cut, J1 = _cut_masks(bt, L, cut, dtype)
+    sig, smlb, w2k, bulge_k = _sig_kernels(bt, sigma, dtype)
+    M5, D_cut, J1 = _cut_masks(bt, L, cut, dtype, sigma)
     c = cut
 
     qb, qm, qm1, qx = ins.qb, ins.qm, ins.qm1, ins.qx
@@ -435,6 +445,7 @@ def co_outside(ff: CoFactors, bt: BoltzTables, ins: CoInsideState,
         vvec = vvec.at[cc].set(jnp.where(
             cc >= c, jnp.sum(obcol * col(ff.fcx) * _shift_up(qxA, 1)), 0.0))
 
+        obcol = jnp.minimum(obcol, jnp.asarray(HUGE, dtype))
         ob = _dus(ob, obcol[:, None], (0, cc))
         om1 = _dus(om1, om1col[:, None], (0, cc))
         Obuf = jnp.concatenate([obcol[:, None], Obuf[:, :-1]], axis=1)
@@ -476,7 +487,7 @@ def co_outside(ff: CoFactors, bt: BoltzTables, ins: CoInsideState,
 
 
 def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
-           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32):
+           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32, scale_e=None):
     """Joint fold of the concatenation.  Returns (CoInsideState, CoOutsideState).
 
     S1/S2 are padded encodings; the concatenation packs S1[:n1] then S2[:n2]
@@ -490,9 +501,43 @@ def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
                   S2_rolled)
     n = n1 + n2
     bt = get_boltz(params)
-    ff = co_factors(bt, S, n, n1, dtype)
-    ins = co_inside(ff, bt, n, n1, dtype)
-    out = co_outside(ff, bt, ins, n, n1, dtype)
+    kt = jnp.asarray(bt.kt, dtype)
+    nf = jnp.maximum(jnp.asarray(n).astype(dtype), 1.0)
+
+    def probe(es):
+        sig = jnp.exp(-es / kt)
+        ff = co_factors(bt, S, n, n1, dtype, sig)
+        return co_inside(ff, bt, n, n1, dtype, sig)
+
+    if scale_e is None:
+        # adaptive pf scaling (see ops.mccaskill.adaptive_inside)
+        def good(st):
+            return (~st.sat) & (st.zn > ZLO) & (st.zn < ZHI) \
+                & jnp.isfinite(st.zn)
+
+        def cond(c):
+            es, st, it = c
+            return (it < 8) & ~good(st)
+
+        def loop_body(c):
+            es, st, it = c
+            step = kt * 60.0 / nf
+            bad_hi = st.sat | ~jnp.isfinite(st.zn) | (st.zn >= ZHI)
+            es2 = jnp.where(bad_hi, es + step,
+                            jnp.where(st.zn > 0,
+                                      es + kt * jnp.log(st.zn) / nf,
+                                      es - step))
+            return (es2, probe(es2), it + 1)
+
+        es = jnp.asarray(SCALE_E0, dtype)
+        ins = probe(es)
+        es, ins, _ = jax.lax.while_loop(cond, loop_body, (es, ins, jnp.int32(0)))
+    else:
+        es = jnp.asarray(scale_e, dtype)
+        ins = probe(es)
+    sig = jnp.exp(-es / kt)
+    ff = co_factors(bt, S, n, n1, dtype, sig)
+    out = co_outside(ff, bt, ins, n, n1, dtype, sig)
     return ins, out
 
 

@@ -39,6 +39,17 @@ from ..params.tables import EnergyParams
 
 W = MAXLOOP + 1  # interior-loop window width (31)
 
+# Saturating-arithmetic ceiling and the acceptance window for the scaled
+# partition function.  The per-base scale sigma = exp(-scale_e / kT) is chosen
+# adaptively per instance (the TPU-native equivalent of Vienna's pf_scale,
+# reference src/ractip.cpp:344-356 sets pf_scale before pf_fold) so that the
+# scaled total zn lands inside [ZLO, ZHI]; DP columns saturate at HUGE instead
+# of overflowing to inf, and the saturation flag triggers a rescale retry.
+HUGE = 1e30
+ZLO = 1e-12
+ZHI = 1e12
+SCALE_E0 = 185.0  # initial per-base scale energy (cal/mol), tuned for typical RNA
+
 
 def _shift_up(v: jnp.ndarray, k: int) -> jnp.ndarray:
     """out[i] = v[i+k] (zero fill).  Static k; shifts axis 0."""
@@ -87,6 +98,7 @@ class InsideState(NamedTuple):
     q1: jnp.ndarray    # [L] exterior prefix partition fn q1[j] ~ Z(0..j)
     q2: jnp.ndarray    # [L+1] exterior suffix partition fn q2[i] ~ Z(i..n-1)
     zn: jnp.ndarray    # scalar: scaled total partition function
+    sat: jnp.ndarray   # scalar bool: some DP column hit the HUGE ceiling
 
 
 class OutsideState(NamedTuple):
@@ -113,7 +125,8 @@ def _pad_cols(M: jnp.ndarray, left: int = 0, right: int = 0) -> jnp.ndarray:
 
 
 def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
-                 dtype=jnp.float32) -> FoldFactors:
+                 dtype=jnp.float32, sigma=None) -> FoldFactors:
+    """sigma may be a traced per-instance scalar (adaptive pf scale)."""
     L = S.shape[0]
     pair_tbl = jnp.asarray(np.array(PAIR_TYPE, np.int32))
     rtype_tbl = jnp.asarray(np.array(RTYPE, np.int32))
@@ -126,7 +139,7 @@ def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     t = pair_tbl[S[:, None], S[None, :]]   # type of (i, j)
     rt = rtype_tbl[t]
     tv = t > 0
-    sig = bt.sigma
+    sig = jnp.asarray(bt.sigma if sigma is None else sigma, dtype)
 
     def srow(off):  # S[i + off], broadcast over rows
         return _sg(S, off)[:, None]
@@ -161,15 +174,15 @@ def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     tetra = jnp.where(span == 4, f(bt.tetra)[key6][:, None], f(1.0))
     valid_hp = tv & (span >= TURN)
     fhn = jnp.where(valid_hp, f(hp_ext)[span_c] * mism * tetra, 0.0)
-    fhn = fhn * f(sig) ** (span_c + 2).astype(dtype)
+    fhn = fhn * sig ** (span_c + 2).astype(dtype)
 
-    pstk = jnp.where(tv, f(bt.stack)[t, tr_at(1, -1)] * f(sig ** 2), 0.0)
-    p11 = jnp.where(tv, f(bt.int11)[t, tr_at(2, -2), si1, sj1] * f(sig ** 4), 0.0)
-    p21a = jnp.where(tv, f(bt.int21)[t, tr_at(2, -3), si1, sj2, sj1] * f(sig ** 5), 0.0)
-    p21b = jnp.where(tv, f(bt.int21)[tr_at(3, -2), t, sj1, si1, si2] * f(sig ** 5), 0.0)
-    p22 = jnp.where(tv, f(bt.int22)[t, tr_at(3, -3), si1, si2, sj2, sj1] * f(sig ** 6), 0.0)
-    pb15 = jnp.where(tv, f(bt.stack)[t, tr_at(2, -1)] * f(bt.bulge[1] * sig ** 3), 0.0)
-    pb13 = jnp.where(tv, f(bt.stack)[t, tr_at(1, -2)] * f(bt.bulge[1] * sig ** 3), 0.0)
+    pstk = jnp.where(tv, f(bt.stack)[t, tr_at(1, -1)] * sig ** 2, 0.0)
+    p11 = jnp.where(tv, f(bt.int11)[t, tr_at(2, -2), si1, sj1] * sig ** 4, 0.0)
+    p21a = jnp.where(tv, f(bt.int21)[t, tr_at(2, -3), si1, sj2, sj1] * sig ** 5, 0.0)
+    p21b = jnp.where(tv, f(bt.int21)[tr_at(3, -2), t, sj1, si1, si2] * sig ** 5, 0.0)
+    p22 = jnp.where(tv, f(bt.int22)[t, tr_at(3, -3), si1, si2, sj2, sj1] * sig ** 6, 0.0)
+    pb15 = jnp.where(tv, f(bt.stack)[t, tr_at(2, -1)] * f(bt.bulge[1]) * sig ** 3, 0.0)
+    pb13 = jnp.where(tv, f(bt.stack)[t, tr_at(1, -2)] * f(bt.bulge[1]) * sig ** 3, 0.0)
 
     tau = jnp.where(tv, f(bt.term_au)[t], 0.0)
     taur = jnp.where(tr > 0, f(bt.term_au)[tr], 0.0)
@@ -195,28 +208,40 @@ def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     )
 
 
-def _decay_matrix(bt: BoltzTables, L: int, dtype) -> jnp.ndarray:
-    """D[i,k] = (sigma*ml_base)^(k-i) for k >= i, else 0."""
+def _decay_matrix(bt: BoltzTables, L: int, dtype, sigma=None) -> jnp.ndarray:
+    """D[i,k] = (sigma*ml_base)^(k-i) for k >= i, else 0.  Traced-sigma safe."""
     ik = np.arange(L)
-    Dm = np.where(ik[None, :] >= ik[:, None],
-                  (bt.sigma * bt.ml_base) ** np.maximum(ik[None, :] - ik[:, None], 0), 0.0)
-    return jnp.asarray(Dm, dtype)
+    d = ik[None, :] - ik[:, None]
+    if sigma is None:
+        Dm = np.where(d >= 0, (bt.sigma * bt.ml_base) ** np.maximum(d, 0), 0.0)
+        return jnp.asarray(Dm, dtype)
+    smlb = jnp.asarray(sigma, dtype) * jnp.asarray(bt.ml_base, dtype)
+    expo = jnp.asarray(np.maximum(d, 0), dtype)
+    return jnp.where(jnp.asarray(d >= 0), smlb ** expo, 0.0)
+
+
+def _sig_kernels(bt: BoltzTables, sigma, dtype):
+    """(sig, smlb, w2k, bulge_k) with the per-instance sigma folded on device."""
+    sig = jnp.asarray(bt.sigma if sigma is None else sigma, dtype)
+    smlb = sig * jnp.asarray(bt.ml_base, dtype)
+    e2 = np.add.outer(np.arange(W), np.arange(W)) + 2          # u1 + u2 + 2
+    w2k = jnp.asarray(bt.w2_raw, dtype) * sig ** jnp.asarray(e2, dtype)
+    em = np.arange(MAXLOOP + 1) + 2                            # m + 2
+    bulge_k = jnp.asarray(bt.bulge_raw, dtype) * sig ** jnp.asarray(em, dtype)
+    return sig, smlb, w2k, bulge_k
 
 
 def inside(ff: FoldFactors, bt: BoltzTables, n: jnp.ndarray,
-           dtype=jnp.float32) -> InsideState:
+           dtype=jnp.float32, sigma=None) -> InsideState:
     L = ff.fhn.shape[0]
-    sig = jnp.asarray(bt.sigma, dtype)
-    smlb = jnp.asarray(bt.sigma * bt.ml_base, dtype)
-    w2k = jnp.asarray(bt.w2, dtype)
-    bulge_k = jnp.asarray(bt.bulge_kernel, dtype)
-    D = _decay_matrix(bt, L, dtype)
+    sig, smlb, w2k, bulge_k = _sig_kernels(bt, sigma, dtype)
+    D = _decay_matrix(bt, L, dtype, sigma)
 
     minn_pad = _pad_cols(ff.minn, left=W)
     taur_pad = _pad_cols(ff.taur, left=W)
 
     def body(j, st):
-        qb, qm, qm1, qm2, q1, Qbuf = st
+        qb, qm, qm1, qm2, q1, Qbuf, sat = st
         # Qbuf[:, b] = qb column (j - 31 + b)
 
         def col(M):
@@ -263,6 +288,15 @@ def inside(ff: FoldFactors, bt: BoltzTables, n: jnp.ndarray,
         q1pad = _shift_down(q1, 1).at[0].set(1.0)
         q1val = sig * q1_prev + jnp.sum(q1pad * qbcol * col(ff.fe))
 
+        # saturating arithmetic: never let inf/nan poison the tables; the flag
+        # drives the adaptive-sigma retry loop in fold()
+        mx = jnp.maximum(jnp.maximum(jnp.max(qbcol), jnp.max(qmcol)), q1val)
+        sat = sat | ~(mx < HUGE)
+        hf = jnp.asarray(HUGE, dtype)
+        qbcol, qm1col = jnp.minimum(qbcol, hf), jnp.minimum(qm1col, hf)
+        qmcol, qm2col = jnp.minimum(qmcol, hf), jnp.minimum(qm2col, hf)
+        q1val = jnp.minimum(q1val, hf)
+
         qb = jax.lax.dynamic_update_slice(qb, qbcol[:, None], (0, j))
         qm1 = jax.lax.dynamic_update_slice(qm1, qm1col[:, None], (0, j))
         qm = jax.lax.dynamic_update_slice(qm, qmcol[:, None], (0, j))
@@ -270,11 +304,12 @@ def inside(ff: FoldFactors, bt: BoltzTables, n: jnp.ndarray,
                                            (0, jnp.maximum(j - 1, 0)))
         q1 = q1.at[j].set(q1val)
         Qbuf = jnp.concatenate([Qbuf[:, 1:], qbcol[:, None]], axis=1)
-        return (qb, qm, qm1, qm2, q1, Qbuf)
+        return (qb, qm, qm1, qm2, q1, Qbuf, sat)
 
     z = jnp.zeros((L, L), dtype)
-    st = (z, z, z, z, jnp.zeros((L,), dtype), jnp.zeros((L, W), dtype))
-    qb, qm, qm1, qm2, q1, _ = jax.lax.fori_loop(0, L, body, st)
+    st = (z, z, z, z, jnp.zeros((L,), dtype), jnp.zeros((L, W), dtype),
+          jnp.zeros((), bool))
+    qb, qm, qm1, qm2, q1, _, sat = jax.lax.fori_loop(0, L, body, st)
 
     # last qm2 column (segment ending at L-1)
     qm2 = qm2.at[:, L - 1].set(qm @ _shift_up(qm1[:, L - 1], 1))
@@ -288,22 +323,20 @@ def inside(ff: FoldFactors, bt: BoltzTables, n: jnp.ndarray,
         i = L - 1 - k
         s = jnp.sum(qbe[i, :] * q2[1:])
         val = jnp.where(i >= n, 1.0, sig * q2[i + 1] + s)
-        return q2.at[i].set(val)
+        return q2.at[i].set(jnp.minimum(val, jnp.asarray(HUGE, dtype)))
 
     q2 = jax.lax.fori_loop(0, L, body2, jnp.ones((L + 1,), dtype))
 
-    return InsideState(qb=qb, qm=qm, qm1=qm1, qm2=qm2, q1=q1, q2=q2, zn=zn)
+    return InsideState(qb=qb, qm=qm, qm1=qm1, qm2=qm2, q1=q1, q2=q2, zn=zn,
+                       sat=sat)
 
 
 def outside(ff: FoldFactors, bt: BoltzTables, ins: InsideState, n: jnp.ndarray,
-            dtype=jnp.float32) -> OutsideState:
+            dtype=jnp.float32, sigma=None) -> OutsideState:
     """Hand-written transpose of inside().  See module docstring for structure."""
     L = ff.fhn.shape[0]
-    sig = jnp.asarray(bt.sigma, dtype)
-    smlb = jnp.asarray(bt.sigma * bt.ml_base, dtype)
-    w2k = jnp.asarray(bt.w2, dtype)
-    bulge_k = jnp.asarray(bt.bulge_kernel, dtype)
-    D = _decay_matrix(bt, L, dtype)
+    sig, smlb, w2k, bulge_k = _sig_kernels(bt, sigma, dtype)
+    D = _decay_matrix(bt, L, dtype, sigma)
 
     qb, qm, qm1 = ins.qb, ins.qm, ins.qm1
     q1pad = _shift_down(ins.q1, 1).at[0].set(1.0)   # q1pad[i] = Z(0..i-1)
@@ -361,6 +394,7 @@ def outside(ff: FoldFactors, bt: BoltzTables, ins: InsideState, n: jnp.ndarray,
         # d(qm[:,c])/d(qm matrix): rank-1 into columns < c
         om = om + jnp.outer(omcol, _shift_up(col(qm1), 1))
 
+        obcol = jnp.minimum(obcol, jnp.asarray(HUGE, dtype))
         ob = jax.lax.dynamic_update_slice(ob, obcol[:, None], (0, c))
         om1 = jax.lax.dynamic_update_slice(om1, om1col[:, None], (0, c))
         Obuf = jnp.concatenate([obcol[:, None], Obuf[:, :-1]], axis=1)
@@ -378,22 +412,74 @@ def outside(ff: FoldFactors, bt: BoltzTables, ins: InsideState, n: jnp.ndarray,
     return OutsideState(ob=ob, bpp=bpp)
 
 
-def fold(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray, dtype=jnp.float32):
-    """Full inside/outside.  Returns (InsideState, OutsideState)."""
+def adaptive_inside(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
+                    dtype=jnp.float32, es0: float = SCALE_E0,
+                    max_iter: int = 8):
+    """Inside pass with per-instance adaptive pf scaling.
+
+    Retries the (saturating) inside DP with sigma = exp(-es/kT) until the
+    scaled partition function lands in [ZLO, ZHI]: the TPU equivalent of
+    Vienna's mfe-derived pf_scale.  When the first guess is in range (typical
+    RNA) this costs exactly one inside pass.  Returns (es, InsideState).
+    """
+    kt = jnp.asarray(bt.kt, dtype)
+    nf = jnp.maximum(jnp.asarray(n).astype(dtype), 1.0)
+
+    def probe(es):
+        sig = jnp.exp(-es / kt)
+        ff = fold_factors(bt, S, n, dtype, sig)
+        return inside(ff, bt, n, dtype, sig)
+
+    def good(ins):
+        return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
+            & jnp.isfinite(ins.zn)
+
+    def cond(c):
+        es, ins, it = c
+        return (it < max_iter) & ~good(ins)
+
+    def body(c):
+        es, ins, it = c
+        step = kt * 60.0 / nf        # shifts ln(zn) by ~60
+        bad_hi = ins.sat | ~jnp.isfinite(ins.zn) | (ins.zn >= ZHI)
+        es2 = jnp.where(bad_hi, es + step,
+                        jnp.where(ins.zn > 0,
+                                  es + kt * jnp.log(ins.zn) / nf,  # recenter
+                                  es - step))
+        return (es2, probe(es2), it + 1)
+
+    es = jnp.asarray(es0, dtype)
+    ins = probe(es)
+    es, ins, _ = jax.lax.while_loop(cond, body, (es, ins, jnp.int32(0)))
+    return es, ins
+
+
+def fold(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
+         dtype=jnp.float32, scale_e=None):
+    """Full inside/outside with adaptive pf scaling.
+
+    Returns (InsideState, OutsideState).  Pass scale_e to pin the per-base
+    scale energy (cal/mol) instead of adapting (e.g. reuse across decoys)."""
     bt = get_boltz(params)
-    ff = fold_factors(bt, S, n, dtype)
-    ins = inside(ff, bt, n, dtype)
-    out = outside(ff, bt, ins, n, dtype)
+    if scale_e is None:
+        es, ins = adaptive_inside(bt, S, n, dtype)
+        sig = jnp.exp(-es / jnp.asarray(bt.kt, dtype))
+        ff = fold_factors(bt, S, n, dtype, sig)
+    else:
+        sig = jnp.exp(-jnp.asarray(scale_e, dtype) / jnp.asarray(bt.kt, dtype))
+        ff = fold_factors(bt, S, n, dtype, sig)
+        ins = inside(ff, bt, n, dtype, sig)
+    out = outside(ff, bt, ins, n, dtype, sig)
     return ins, out
 
 
 def log_partition(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
                   dtype=jnp.float32) -> jnp.ndarray:
-    """ln Z (unscaled).  ln Z = ln zn - n * ln(sigma)."""
+    """ln Z (unscaled).  ln Z = ln zn + n * es / kT (sigma = exp(-es/kT))."""
     bt = get_boltz(params)
-    ff = fold_factors(bt, S, n, dtype)
-    ins = inside(ff, bt, n, dtype)
-    return jnp.log(ins.zn) - n * jnp.log(jnp.asarray(bt.sigma, dtype))
+    es, ins = adaptive_inside(bt, S, n, dtype)
+    return jnp.log(ins.zn) + jnp.asarray(n).astype(dtype) * es \
+        / jnp.asarray(bt.kt, dtype)
 
 
 def base_pair_probs(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,

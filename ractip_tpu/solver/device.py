@@ -125,18 +125,23 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
 
 
 def round_and_repair(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
-                     u_lp, tol: float = 1e-3):
+                     u_lp, tol: float = 1e-3, fix_lb=None, fix_ub=None):
     """Round an LP iterate and greedily drop until feasible (jittable).
 
     Returns (u, n_dropped, max_violation).  max_violation is 0 when the repair
     converged to a feasible binary point (it always does unless forced lower
     bounds themselves conflict, which batch problems never carry).
+    fix_lb/fix_ub pin variables (e.g. the stage-2 region fixings).
     """
     ops = make_ops(p, L1, L2)
     b = rhs(cfg, ops)
     masks = (p.xm, p.ym, p.zm, p.vm, p.wm)
     coefs = (p.xc, p.yc, p.zc, p.vc, p.wc)
     lbs = (p.xlb, p.ylb, p.zlb, jnp.zeros_like(p.vm), jnp.zeros_like(p.wm))
+    if fix_lb is not None:
+        lbs = tuple(jnp.maximum(a, f) for a, f in zip(lbs, fix_lb))
+    if fix_ub is not None:
+        masks = tuple(jnp.minimum(a, f) for a, f in zip(masks, fix_ub))
     sizes = tuple(m.shape[0] for m in masks)
 
     u0 = tuple(jnp.maximum(jnp.round(t) * m, l)
@@ -188,10 +193,51 @@ def round_and_repair(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
     return u, dropped, max_viol(u)
 
 
+def _region_fixings(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
+                    u_lp):
+    """Integral region selection from the stage-1 LP iterate.
+
+    The accessibility coupling (reference src/ractip.cpp:848-861 zv rows with
+    the acc_num cap :971-994) makes the LP relaxation fractional on long
+    antiparallel duplexes: the LP spreads region mass over overlapping
+    windows, naive rounding then drops every external pair.  This picks the
+    acc_num windows per side that cover the most LP external-pair mass
+    (exactly what the MIP branch decides first) and returns (fix_lb, fix_ub)
+    pinning them, so the stage-2 LP is near-integral.
+    """
+    x, y, z, v, w = u_lp
+    zrow1 = jnp.zeros((L1,), jnp.float32).at[p.zi].add(z * p.zm)
+    zrow2 = jnp.zeros((L2,), jnp.float32).at[p.zj].add(z * p.zm)
+
+    def pick(zrow, vp, vq, vc, vm, v_lp):
+        cs = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(zrow)])
+        gain = cs[vq + 1] - cs[vp]
+        base = gain + vc + 1e-3 * v_lp
+        avail = vm > 0
+        lb = jnp.zeros_like(vm)
+        for _ in range(cfg.acc_num):
+            score = jnp.where(avail, base, -jnp.inf)
+            k = jnp.argmax(score)
+            ok = score[k] > 1e-4
+            lb = jnp.where(ok, lb.at[k].set(1.0), lb)
+            # picked region excludes overlapping/adjoining candidates
+            touch = (vp <= vq[k] + 1) & (vq >= vp[k] - 1)
+            avail = avail & jnp.where(ok, ~touch, avail)
+        return lb, lb    # ub = lb: non-chosen regions pinned to 0
+
+    vlb, vub = pick(zrow1, p.vp, p.vq, p.vc * p.vm, p.vm, v)
+    wlb, wub = pick(zrow2, p.wp, p.wq, p.wc * p.wm, p.wm, w)
+    ones = lambda t: jnp.ones_like(t)
+    fix_lb = (jnp.zeros_like(p.xm), jnp.zeros_like(p.ym),
+              jnp.zeros_like(p.zm), vlb, wlb)
+    fix_ub = (ones(p.xm), ones(p.ym), ones(p.zm), vub, wub)
+    return fix_lb, fix_ub
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "L1", "L2", "iters"))
 def solve_joint_device(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
                        iters: int = 2000):
-    """One-shot on-device solve: PDHG LP + round/repair.
+    """On-device solve: PDHG LP + (conditional region stage) + round/repair.
 
     Returns (u, objective, lp_bound, max_violation).  objective <= optimum <=
     lp_bound; the gap is reported so callers can fall back to the host
@@ -200,5 +246,22 @@ def solve_joint_device(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
     u_lp, _y, bound = pdhg_solve(p, cfg, L1, L2, iters=iters)
     u, _dropped, mv = round_and_repair(p, cfg, L1, L2, u_lp)
     coefs = (p.xc * p.xm, p.yc * p.ym, p.zc * p.zm, p.vc * p.vm, p.wc * p.wm)
-    obj = sum(jnp.vdot(c, t) for c, t in zip(coefs, u))
+
+    def objective(t):
+        return sum(jnp.vdot(c, tt) for c, tt in zip(coefs, t))
+
+    obj = objective(u)
+    if cfg.accessibility and cfg.acc_num > 0:
+        # stage 2: pin the LP-guided integral region choice and re-solve
+        fix_lb, fix_ub = _region_fixings(p, cfg, L1, L2, u_lp)
+        u_lp2, _y2, _b2 = pdhg_solve(p, cfg, L1, L2, iters=iters,
+                                     fix_lb=fix_lb, fix_ub=fix_ub)
+        u2, _d2, mv2 = round_and_repair(p, cfg, L1, L2, u_lp2,
+                                        fix_lb=fix_lb, fix_ub=fix_ub)
+        obj2 = objective(u2)
+        better = (mv2 <= 1e-6) & ((obj2 > obj) | (mv > 1e-6))
+        u = jax.tree_util.tree_map(
+            lambda a, bb: jnp.where(better, bb, a), u, u2)
+        obj = jnp.where(better, obj2, obj)
+        mv = jnp.where(better, mv2, mv)
     return u, obj, bound, mv
