@@ -33,7 +33,7 @@ from ..params.tables import EnergyParams, get_default_params
 from ..solver.candidates import JointProblem, SolverConfig
 from ..solver.device import build_problem_device, solve_joint_device
 from .ractip import Options
-from .shuffle import dinuc_shuffle
+from .shuffle import shuffle_batch
 
 DEFAULT_BUCKETS = (64, 64, 64, 128, 128)
 
@@ -227,11 +227,13 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
     e = e1 + e2 + e3
     es = e - e1s - e2s
 
-    decoys = []
-    for _ in range(opts.num_shuffling):
-        t1 = dinuc_shuffle(fa1.seq, rng) if opts.zscore in (1, 12) else fa1.seq
-        t2 = dinuc_shuffle(fa2.seq, rng) if opts.zscore in (2, 12) else fa2.seq
-        decoys.append((t1, t2))
+    ns = opts.num_shuffling
+    seed = int(rng.integers(0, 2**63 - 1))
+    d1 = (shuffle_batch(fa1.seq, ns, seed) if opts.zscore in (1, 12)
+          else [fa1.seq] * ns)
+    d2 = (shuffle_batch(fa2.seq, ns, seed + 1) if opts.zscore in (2, 12)
+          else [fa2.seq] * ns)
+    decoys = list(zip(d1, d2))
     batch = predict_batch(params, decoys, opts, chunk=chunk, iters=iters,
                           buckets=buckets, want_energy=True)
     ee = batch.energies[:, 0] + batch.energies[:, 1] + batch.energies[:, 2]

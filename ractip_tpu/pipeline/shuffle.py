@@ -8,13 +8,34 @@ arborescence edge last, and walk the Euler path from the first vertex.  The
 result preserves every k-let count exactly (for k=2: all dinucleotide counts,
 hence the z-score null model of reference src/ractip.cpp:1638-1643).
 
-Host-side numpy: shuffling is sequential pointer-chasing over tiny strings and
-feeds the batched TPU pipeline as plain input data.
+Host-side: shuffling is sequential pointer-chasing over tiny strings and
+feeds the batched TPU pipeline as plain input data.  The hot path (thousands
+of z-score decoys) runs in the native C++ host library
+(ractip_tpu/native/ushuffle.cc) via `shuffle_batch`; this module is the
+reference implementation and fallback.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from .. import native
+
+
+def shuffle_batch(seq: str, count: int, seed: int, k: int = 2,
+                  prefer_native: bool = True) -> list[str]:
+    """`count` independent exact k-let-preserving shuffles of seq.
+
+    Uses the native C++ shuffler when available (deterministic in (seed, r));
+    otherwise falls back to the Python implementation below seeded from the
+    same seed.  Both preserve every k-let count exactly.
+    """
+    if prefer_native:
+        out = native.ushuffle_batch(seq, k, seed, count)
+        if out is not None:
+            return out
+    rng = np.random.default_rng(seed)
+    return [dinuc_shuffle(seq, rng, k) for _ in range(count)]
 
 
 def dinuc_shuffle(seq: str, rng: np.random.Generator, k: int = 2) -> str:
