@@ -266,12 +266,25 @@ class DuplexResult(NamedTuple):
 
 
 def duplex(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
-           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32) -> DuplexResult:
+           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32,
+           use_pallas: bool | None = None,
+           pallas_interpret: bool = False) -> DuplexResult:
+    """use_pallas=None auto-selects the Pallas TPU sweep on TPU backends and
+    the pure-jnp sweep elsewhere; both compute identical math."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     bt = get_boltz(params)
     ffw = duplex_factors_fw(bt, S1, S2, n1, n2, dtype)
     fbk = duplex_factors_bk(bt, S1, S2, n1, n2, dtype)
-    fw, lfw = _sweep(ffw, bt, dtype, reverse=False)
-    bk, lbk = _sweep(fbk, bt, dtype, reverse=True)
+    if use_pallas:
+        from .duplex_pallas import sweep_pallas
+        fw, lfw = sweep_pallas(ffw, bt, dtype, reverse=False,
+                               interpret=pallas_interpret)
+        bk, lbk = sweep_pallas(fbk, bt, dtype, reverse=True,
+                               interpret=pallas_interpret)
+    else:
+        fw, lfw = _sweep(ffw, bt, dtype, reverse=False)
+        bk, lbk = _sweep(fbk, bt, dtype, reverse=True)
 
     # log Z from the forward sweep: sum_ij fw[i,j] * close[i,j]
     rowsum = jnp.sum(fw * ffw.close, axis=1)
