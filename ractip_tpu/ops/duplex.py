@@ -299,6 +299,7 @@ def duplex(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
     return DuplexResult(pr=pr, log_zd=log_zd)
 
 
-def hybrid_probs(params: EnergyParams, S1, S2, n1, n2, dtype=jnp.float32):
+def hybrid_probs(params: EnergyParams, S1, S2, n1, n2, dtype=jnp.float32,
+                 **kw):
     """[L1, L2] duplex pair posteriors (the reference's hp_ under --duplex)."""
-    return duplex(params, S1, S2, n1, n2, dtype).pr
+    return duplex(params, S1, S2, n1, n2, dtype, **kw).pr
