@@ -1,0 +1,195 @@
+"""CONTRAfold CRF engine vs structure-enumeration oracle.
+
+The oracle enumerates every secondary structure (non-crossing complementary
+pairs, hairpin >= 3 unpaired) of short sequences and scores each with an
+independent recursive implementation of the reference's feature sum
+(reference src/contrafold/InferenceEngine.ipp Score* helpers: ScoreHairpin
+:2123, ScoreSingle :2460, ScoreJunctionA :1927, ScoreJunctionB :2004,
+multi/external scalars :55-205).  logZ and posterior pair marginals from the
+scan-based engine must match enumeration exactly (f64).
+"""
+
+import numpy as np
+import pytest
+
+from ractip_tpu.ops.contrafold import (cf_base_pair_probs, cf_logz,
+                                       cf_unpaired_probs)
+from ractip_tpu.ops.seq import encode
+from ractip_tpu.params.contrafold import get_cf_tables
+from ractip_tpu.params.contrafold_data import COMPLEMENTARY
+
+COMPL = {"AU", "UA", "GU", "UG", "CG", "GC"}
+
+
+def enum_structures(seq: str):
+    """All sets of non-crossing complementary pairs with span >= 4 (1-based)."""
+    n = len(seq)
+
+    def pairable(a, b):
+        return seq[a - 1] + seq[b - 1] in COMPL and b - a >= 4
+
+    def gen(lo, hi):
+        if lo > hi:
+            yield []
+            return
+        # position lo unpaired
+        for rest in gen(lo + 1, hi):
+            yield rest
+        # position lo paired with b
+        for b in range(lo + 4, hi + 1):
+            if pairable(lo, b):
+                for inner in gen(lo + 1, b - 1):
+                    for outer in gen(b + 1, hi):
+                        yield [(lo, b)] + inner + outer
+
+    return list(gen(1, n))
+
+
+def np_tables():
+    tb = get_cf_tables()
+    return {k: np.asarray(v) for k, v in tb._asdict().items()}
+
+
+def score_structure(tb, seq: str, pairs):
+    """Independent recursive scorer following the reference grammar."""
+    n = len(seq)
+    s = np.concatenate([[0], encode(seq), [0]])  # 1-based + sentinels
+
+    def JA(x, y):
+        # JunctionA(x, y): closing pair letters (x, y+1)
+        v = tb["closing"][s[x], s[y + 1]]
+        if x < n:
+            v += tb["dangle_l"][s[x], s[y + 1], s[x + 1]]
+        if y > 0:
+            v += tb["dangle_r"][s[x], s[y + 1], s[y]]
+        return v
+
+    def JB(x, y):
+        return tb["closing"][s[x], s[y + 1]] + tb["tm"][s[x], s[y + 1],
+                                                        s[x + 1], s[y]]
+
+    def children_of(pairs, lo, hi):
+        tops, inside = [], set()
+        for (a, b) in sorted(pairs):
+            if lo <= a and b <= hi and a not in inside:
+                tops.append((a, b))
+                inside.update(range(a, b + 1))
+        return tops
+
+    def rec(a, b, sub):
+        kids = children_of(sub, a + 1, b - 1)
+        inner = [p for p in sub if p not in kids and a < p[0] < b]
+        v = 0.0
+        if not kids:
+            assert not inner
+            return JB(a, b - 1) + tb["hairpin_len"][min(b - 1 - a, 30)]
+        if len(kids) == 1:
+            (c, d) = kids[0]
+            l1, l2 = c - a - 1, b - d - 1
+            if l1 == 0 and l2 == 0:
+                v = tb["bp"][s[c], s[d]] + tb["stack"][s[a], s[b], s[c], s[d]]
+            else:
+                if l1 + l2 > 30:
+                    return None
+                v = (tb["single"][l1, l2] + tb["bp"][s[c], s[d]]
+                     + JB(a, b - 1) + JB(d, c - 1))
+                if l1 == 0 and l2 == 1:
+                    v += tb["bulge0x1"][s[b - 1]]
+                if l1 == 1 and l2 == 0:
+                    v += tb["bulge0x1"][s[a + 1]]
+                if l1 == 1 and l2 == 1:
+                    v += tb["int1x1"][s[a + 1], s[b - 1]]
+            r = rec(c, d, [p for p in sub if c <= p[0] and p[1] <= d
+                           and p != (c, d)])
+            return None if r is None else v + r
+        # multibranch
+        v = (JA(a, b - 1) + tb["multi_paired"] + tb["multi_base"])
+        covered = set()
+        for (c, d) in kids:
+            v += (tb["multi_paired"] + tb["bp"][s[c], s[d]] + JA(d, c - 1))
+            r = rec(c, d, [p for p in sub if c <= p[0] and p[1] <= d
+                           and p != (c, d)])
+            if r is None:
+                return None
+            v += r
+            covered.update(range(c, d + 1))
+        v += tb["multi_unpaired"] * sum(
+            1 for m in range(a + 1, b) if m not in covered)
+        return v
+
+    tops = children_of(pairs, 1, n)
+    covered = set()
+    v = 0.0
+    for (a, b) in tops:
+        v += tb["ext_paired"] + tb["bp"][s[a], s[b]] + JA(b, a - 1)
+        r = rec(a, b, [p for p in pairs if a <= p[0] and p[1] <= b
+                       and p != (a, b)])
+        if r is None:
+            return None
+        v += r
+        covered.update(range(a, b + 1))
+    v += tb["ext_unpaired"] * sum(1 for m in range(1, n + 1)
+                                  if m not in covered)
+    return v
+
+
+def oracle(seq: str):
+    tb = np_tables()
+    n = len(seq)
+    scores, plist = [], []
+    for pairs in enum_structures(seq):
+        sc = score_structure(tb, seq, pairs)
+        if sc is not None:
+            scores.append(sc)
+            plist.append(pairs)
+    scores = np.array(scores)
+    m = scores.max()
+    w = np.exp(scores - m)
+    z = w.sum()
+    logz = np.log(z) + m
+    bpp = np.zeros((n, n))
+    for wk, pairs in zip(w, plist):
+        for (a, b) in pairs:
+            bpp[a - 1, b - 1] += wk / z
+    return logz, bpp
+
+
+SEQS = ["GCGAAACGC", "GGCGAAAACGUCC", "ACGUACGUACGU", "GGGGAAAACCCC"]
+
+
+@pytest.mark.parametrize("seq", SEQS)
+def test_cf_logz_and_bpp_vs_enumeration(seq):
+    logz_o, bpp_o = oracle(seq)
+    n = len(seq)
+    Lp = n + 3  # exercise padding
+    S = encode(seq, Lp)
+    logz = float(cf_logz(S, n))
+    assert logz == pytest.approx(logz_o, abs=1e-8), seq
+    bpp = np.asarray(cf_base_pair_probs(S, n))
+    np.testing.assert_allclose(bpp[:n, :n], bpp_o, atol=1e-9)
+    # nothing outside the sequence
+    assert np.all(bpp[n:, :] == 0) and np.all(bpp[:, n:] == 0)
+    up = np.asarray(cf_unpaired_probs(bpp))
+    assert np.all(up >= 0) and np.all(up <= 1 + 1e-9)
+
+
+def test_cf_tables_spot_values():
+    tb = get_cf_tables()
+    # base_pair_AU (Defaults.ipp:21), my encoding A=1, U=4; symmetric
+    assert float(tb.bp[1, 4]) == pytest.approx(COMPLEMENTARY["base_pair_AU"])
+    assert float(tb.bp[4, 1]) == pytest.approx(COMPLEMENTARY["base_pair_AU"])
+    assert float(tb.multi_base) == pytest.approx(COMPLEMENTARY["multi_base"])
+    # cumulative hairpin cache: value at 3 = sum of at_least_0..3
+    want = sum(COMPLEMENTARY.get(f"hairpin_length_at_least_{k}", 0.0)
+               for k in range(4))
+    assert float(tb.hairpin_len[3]) == pytest.approx(want)
+    # N rows are all zero
+    assert np.all(np.asarray(tb.bp)[0] == 0)
+    assert np.all(np.asarray(tb.tm)[0] == 0)
+
+
+def test_cf_padding_invariance():
+    seq = "GCGAAACGC"
+    a = float(cf_logz(encode(seq, 12), len(seq)))
+    b = float(cf_logz(encode(seq, 20), len(seq)))
+    assert a == pytest.approx(b, abs=1e-9)
