@@ -93,10 +93,17 @@ def _predict_device(params: EnergyParams, cfg: SolverConfig, buckets,
         prob = build_problem_device(bpp1, bpp2, hp, pu1, pu2, m1, m2,
                                     cfg, buckets)
         u, obj, bound, mv = solve_joint_device(prob, cfg, L1, L2, iters)
+        from ..solver.device import region_candidate_count
+        nv = (region_candidate_count(pu1, m1, L1, cfg)
+              if cfg.accessibility and pu1 is not None else jnp.int32(0))
+        nw = (region_candidate_count(pu2, m2, L2, cfg)
+              if cfg.accessibility and pu2 is not None else jnp.int32(0))
         overflow = jnp.stack([
             jnp.sum(jnp.triu(bpp1, 1) > cfg.th_ss) - jnp.sum(prob.xm),
             jnp.sum(jnp.triu(bpp2, 1) > cfg.th_ss) - jnp.sum(prob.ym),
             jnp.sum(hp > cfg.th_hy) - jnp.sum(prob.zm),
+            nv - jnp.sum(prob.vm),
+            nw - jnp.sum(prob.wm),
         ]).astype(jnp.int32)
         out = dict(prob=prob, u=u, obj=obj, bound=bound, mv=mv,
                    overflow=overflow)

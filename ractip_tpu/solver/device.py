@@ -54,6 +54,33 @@ def _topk_select(score: jnp.ndarray, valid: jnp.ndarray, th: float, K: int):
     return idx, val, m[order].astype(jnp.float32)
 
 
+def _topk_scored(score: jnp.ndarray, value: jnp.ndarray, valid: jnp.ndarray,
+                 K: int):
+    """Top-K *valid* entries ranked by `score`, carrying `value` through.
+
+    Unlike _topk_select (rank == threshold test == value), this separates the
+    ranking key from the kept payload: region candidates are admitted by
+    up > th_ac but ranked by how much external-pair objective mass they can
+    cover -- keeping the K highest-up regions instead silently drops exactly
+    the low-accessibility windows where interactions live (the round-1
+    zero-external-pairs bug on CopA-CopT).
+    """
+    flat_s = jnp.where(valid, score, -jnp.inf).reshape(-1)
+    flat_v = value.reshape(-1)
+    if flat_s.shape[0] < K:
+        pad = K - flat_s.shape[0]
+        flat_s = jnp.concatenate(
+            [flat_s, jnp.full((pad,), -jnp.inf, flat_s.dtype)])
+        flat_v = jnp.concatenate([flat_v, jnp.zeros((pad,), flat_v.dtype)])
+    sv, idx = jax.lax.top_k(flat_s, K)
+    m = sv > -jnp.inf
+    order = jnp.argsort(jnp.where(m, idx, jnp.iinfo(jnp.int32).max))
+    idx = idx[order]
+    m = m[order]
+    val = jnp.where(m, flat_v[idx], 0.0)
+    return idx, val, m.astype(jnp.float32)
+
+
 def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
                          cfg: SolverConfig,
                          buckets: tuple[int, int, int, int, int]) -> JointProblem:
@@ -86,12 +113,19 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
 
     I1 = jnp.arange(L1)[:, None]
     I2 = jnp.arange(L2)[None, :]
-    idx, p, zm = _topk_select(hp, (I1 < n1) & (I2 < n2), cfg.th_hy, kz)
+    zvalid = (I1 < n1) & (I2 < n2)
+    idx, p, zm = _topk_select(hp, zvalid, cfg.th_hy, kz)
     zi = (idx // L2).astype(jnp.int32)
     zj = (idx % L2).astype(jnp.int32)
     zc = jnp.where(zm > 0, cfg.alpha * (p - cfg.th_hy), 0.0).astype(jnp.float32)
 
-    def regions(pu, n, L, K):
+    # per-base external-pair objective mass (each base hosts <= 1 external
+    # pair, so the max over partners bounds its contribution)
+    zgain = jnp.where(zvalid, jnp.maximum(hp - cfg.th_hy, 0.0), 0.0)
+    zmass1 = cfg.alpha * jnp.max(zgain, axis=1)                   # [L1]
+    zmass2 = cfg.alpha * jnp.max(zgain, axis=0)                   # [L2]
+
+    def regions(pu, n, L, K, zmass):
         # widths min_w..max_w; pu column wd = width-wd window at start i
         wn = cfg.max_w - cfg.min_w + 1
         widths = cfg.min_w + jnp.arange(wn)[None, :]              # [1, WN]
@@ -100,15 +134,24 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
         vals = jax.lax.dynamic_slice(
             pu, (0, cfg.min_w), (L, wn)) if pu.shape[1] >= cfg.min_w + wn \
             else jnp.zeros((L, wn), pu.dtype)
-        idx, u, m = _topk_select(vals, ends < n, cfg.th_ac, K)
+        valid = (ends < n) & (vals > cfg.th_ac)
+        # rank candidate regions by the external-pair mass they can cover
+        # (+ their own beta objective); admission stays up > th_ac
+        cs = jnp.concatenate([jnp.zeros((1,), zmass.dtype),
+                              jnp.cumsum(zmass)])
+        cover = cs[jnp.clip(ends, 0, L - 1) + 1] - cs[starts]
+        score = cover + cfg.beta * (vals - cfg.th_ac) + 1e-6 * vals
+        idx, u, m = _topk_scored(score, vals, valid, K)
         i = (idx // wn).astype(jnp.int32)
         q = i + cfg.min_w + (idx % wn).astype(jnp.int32) - 1
         c = jnp.where(m > 0, cfg.beta * (u - cfg.th_ac), 0.0)
-        return i, jnp.where(m > 0, q, 0).astype(jnp.int32), c.astype(jnp.float32), m
+        return (jnp.where(m > 0, i, 0).astype(jnp.int32),
+                jnp.where(m > 0, q, 0).astype(jnp.int32),
+                c.astype(jnp.float32), m)
 
     if cfg.accessibility and pu1 is not None:
-        vp, vq, vc, vm = regions(pu1, n1, L1, kv)
-        wp, wq, wc, wm = regions(pu2, n2, L2, kw)
+        vp, vq, vc, vm = regions(pu1, n1, L1, kv, zmass1)
+        wp, wq, wc, wm = regions(pu2, n2, L2, kw, zmass2)
     else:
         zv = jnp.zeros((kv,), jnp.int32)
         vp, vq, vc, vm = zv, zv, jnp.zeros((kv,)), jnp.zeros((kv,))
@@ -122,6 +165,19 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
         xlb=jnp.zeros((kx,), jnp.float32), ylb=jnp.zeros((ky,), jnp.float32),
         zlb=jnp.zeros((kz,), jnp.float32),
         n1=jnp.asarray(n1, jnp.int32), n2=jnp.asarray(n2, jnp.int32))
+
+
+def region_candidate_count(pu, n, L, cfg: SolverConfig):
+    """Number of admissible accessible-region candidates (for overflow
+    accounting against the static v/w buckets)."""
+    wn = cfg.max_w - cfg.min_w + 1
+    widths = cfg.min_w + jnp.arange(wn)[None, :]
+    starts = jnp.arange(L)[:, None]
+    ends = starts + widths - 1
+    vals = jax.lax.dynamic_slice(
+        pu, (0, cfg.min_w), (L, wn)) if pu.shape[1] >= cfg.min_w + wn \
+        else jnp.zeros((L, wn), pu.dtype)
+    return jnp.sum((ends < n) & (vals > cfg.th_ac))
 
 
 def round_and_repair(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,

@@ -103,7 +103,7 @@ def test_round_and_repair_fixes_conflicts(params):
 def test_predict_batch_consistent_with_host(params):
     opts = Options()
     res = predict_batch(params, PAIRS, opts, chunk=2, iters=2000,
-                        buckets=(16, 16, 16, 32, 32))
+                        buckets=(16, 16, 16, 64, 64))
     assert np.all(res.violation < 0.5)
     assert np.all(res.overflow <= 0)
     for b, (s1, s2) in enumerate(PAIRS):
@@ -112,3 +112,29 @@ def test_predict_batch_consistent_with_host(params):
         assert res.objective[b] == pytest.approx(obj, abs=2e-3)
         assert res.r1[b] == r1
         assert res.r2[b] == r2
+
+
+def test_region_bucket_truncation_keeps_useful_regions():
+    """Tight v-bucket must keep the low-accessibility region that covers the
+    external-pair site, not the high-up regions with no interaction partners
+    (the round-1 zero-external-pairs bug on CopA-CopT)."""
+    cfg = SolverConfig(min_w=2, max_w=3, th_ss=0.9)
+    L1 = L2 = 16
+    n = 16
+    hp = np.zeros((L1, L2), np.float32)
+    hp[2, 5] = hp[3, 4] = 0.9          # interaction site at s1 bases 2-3
+    pu1 = np.zeros((L1, cfg.max_w + 1), np.float32)
+    pu1[:, 2] = 0.5                     # width-2 regions everywhere, up=0.5
+    pu1[2, 2] = 0.01                    # ... except at the site: barely open
+    pu2 = pu1.copy()
+    pu2[4, 2] = 0.01
+    bz = jnp.zeros((L1, L1), jnp.float32)
+    dev = build_problem_device(
+        jnp.asarray(bz), jnp.asarray(bz), jnp.asarray(hp),
+        jnp.asarray(pu1), jnp.asarray(pu2), n, n, cfg,
+        (8, 8, 8, 4, 4))                # only 4 region slots vs ~15 candidates
+    vset = _cand_set(dev.vp, dev.vq, dev.vc, dev.vm)
+    assert any(p <= 2 <= q for (p, q, _) in vset), \
+        f"region covering the site was truncated away: {vset}"
+    wset = _cand_set(dev.wp, dev.wq, dev.wc, dev.wm)
+    assert any(p <= 4 <= q for (p, q, _) in wset)
