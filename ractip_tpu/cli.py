@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="import posterior probabilities from a RIP result")
     ap.add_argument("--duplex", action="store_true",
                     help="use the pure-duplex hybridization model")
+    ap.add_argument("--contrafold", action="store_true",
+                    help="use the CONTRAfold learned-CRF scoring model "
+                         "for all probability sources")
     ap.add_argument("--no-bl", action="store_true",
                     help="do not use BL parameters")
     ap.add_argument("--batch", dest="batch", action="store_true", default=True,
@@ -94,7 +97,8 @@ def options_from_args(args) -> Options:
         force_constraint=args.force_constraint,
         zscore=args.zscore, num_shuffling=args.num_shuffling,
         seed=args.seed, show_energy=args.show_energy,
-        use_constraint=args.use_constraint, use_pf_duplex=args.duplex)
+        use_constraint=args.use_constraint, use_pf_duplex=args.duplex,
+        use_contrafold=args.contrafold)
 
 
 def _fmt_sum(parts: list[float]) -> str:
@@ -111,11 +115,6 @@ def main(argv: list[str] | None = None) -> int:
               "(only the BL* parameter set ships; use -P to override tables)",
               file=sys.stderr)
         return 1
-    if args.use_constraint:
-        print("ractip-tpu: -c/--use-constraint is not supported yet; "
-              "--force-constraint is", file=sys.stderr)
-        return 1
-
     if len(args.fasta) >= 2:
         fa1 = load_fasta(args.fasta[0])[0]
         fa2 = load_fasta(args.fasta[1])[0]

@@ -203,17 +203,18 @@ def unpaired_probs(ff: FoldFactors, bt: BoltzTables, ins: InsideState,
 
 
 def accessibility(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
-                  max_w: int, dtype=jnp.float32, scale_e=None) -> jnp.ndarray:
+                  max_w: int, dtype=jnp.float32, scale_e=None,
+                  allow=None) -> jnp.ndarray:
     """pu[a, w] = P(window a .. a+w-1 unpaired), w in 1..max_w.
 
     Adaptive pf scaling per instance (see ops.mccaskill.adaptive_inside)."""
     bt = get_boltz(params)
     if scale_e is None:
-        es, ins = adaptive_inside(bt, S, n, dtype)
+        es, ins = adaptive_inside(bt, S, n, dtype, allow=allow)
     else:
         es, ins = jnp.asarray(scale_e, dtype), None
     sig = jnp.exp(-es / jnp.asarray(bt.kt, dtype))
-    ff = fold_factors(bt, S, n, dtype, sig)
+    ff = fold_factors(bt, S, n, dtype, sig, allow)
     if ins is None:
         ins = inside(ff, bt, n, dtype, sig)
     out = outside(ff, bt, ins, n, dtype, sig)

@@ -78,12 +78,17 @@ class CoFactors(NamedTuple):
 
 
 def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
-               cut: jnp.ndarray, dtype=jnp.float32, sigma=None) -> CoFactors:
+               cut: jnp.ndarray, dtype=jnp.float32, sigma=None,
+               allow=None) -> CoFactors:
     """Cut-aware factor matrices.  `cut` = index of the first base of strand 2.
 
     Mask conventions: a loop stretch i..k (inclusive of the junctions at both
     ends) must not cross the cut unless hidden inside a nested pair, i.e.
     forbidden iff i < cut <= k.
+
+    `allow` (optional bool [L, L], concatenated coordinates) restricts the
+    joint ensemble to structures whose pairs all satisfy allow[i, j]
+    (reference: constrained co_pf_fold, src/ractip.cpp:403-444).
     """
     L = S.shape[0]
     pair_tbl = jnp.asarray(np.array(PAIR_TYPE, np.int32))
@@ -98,6 +103,8 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     t = pair_tbl[S[:, None], S[None, :]]
     rt = rtype_tbl[t]
     tv = t > 0
+    if allow is not None:
+        tv = tv & jnp.asarray(allow, bool)
     sig = jnp.asarray(bt.sigma if sigma is None else sigma, dtype)
     same = ~((I < c) & (c <= J))          # no cut strictly inside (i, j]
     spanning = (I < c) & (c <= J) & tv
@@ -487,7 +494,8 @@ def co_outside(ff: CoFactors, bt: BoltzTables, ins: CoInsideState,
 
 
 def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
-           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32, scale_e=None):
+           n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32, scale_e=None,
+           allow=None):
     """Joint fold of the concatenation.  Returns (CoInsideState, CoOutsideState).
 
     S1/S2 are padded encodings; the concatenation packs S1[:n1] then S2[:n2]
@@ -506,7 +514,7 @@ def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
 
     def probe(es):
         sig = jnp.exp(-es / kt)
-        ff = co_factors(bt, S, n, n1, dtype, sig)
+        ff = co_factors(bt, S, n, n1, dtype, sig, allow)
         return co_inside(ff, bt, n, n1, dtype, sig)
 
     if scale_e is None:
@@ -536,17 +544,18 @@ def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
         es = jnp.asarray(scale_e, dtype)
         ins = probe(es)
     sig = jnp.exp(-es / kt)
-    ff = co_factors(bt, S, n, n1, dtype, sig)
+    ff = co_factors(bt, S, n, n1, dtype, sig, allow)
     out = co_outside(ff, bt, ins, n, n1, dtype, sig)
     return ins, out
 
 
 def cofold_hybrid_probs(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
-                        n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32):
+                        n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32,
+                        allow=None):
     """hp[i1, i2] = P(S1[i1] pairs S2[i2]) under the joint (cofold) ensemble --
     the reference's default hybridization posteriors (src/ractip.cpp:442-453)."""
     L1, L2 = S1.shape[0], S2.shape[0]
-    ins, out = cofold(params, S1, S2, n1, n2, dtype)
+    ins, out = cofold(params, S1, S2, n1, n2, dtype, allow=allow)
     # extract the cross block [i, n1 + j]
     cols = n1 + jnp.arange(L2)[None, :]                  # [1, L2]
     rows = jnp.arange(L1)[:, None]

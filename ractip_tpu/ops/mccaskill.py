@@ -125,8 +125,13 @@ def _pad_cols(M: jnp.ndarray, left: int = 0, right: int = 0) -> jnp.ndarray:
 
 
 def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
-                 dtype=jnp.float32, sigma=None) -> FoldFactors:
-    """sigma may be a traced per-instance scalar (adaptive pf scale)."""
+                 dtype=jnp.float32, sigma=None, allow=None) -> FoldFactors:
+    """sigma may be a traced per-instance scalar (adaptive pf scale).
+
+    `allow` (optional bool [L, L]) restricts the ensemble to structures whose
+    pairs all satisfy allow[i, j] -- the pf-level hard-constraint mask built by
+    ops.constraints (reference: Vienna fold_constrained pf_fold, called with
+    the -c constraint string at src/ractip.cpp:270-290)."""
     L = S.shape[0]
     pair_tbl = jnp.asarray(np.array(PAIR_TYPE, np.int32))
     rtype_tbl = jnp.asarray(np.array(RTYPE, np.int32))
@@ -139,6 +144,8 @@ def fold_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     t = pair_tbl[S[:, None], S[None, :]]   # type of (i, j)
     rt = rtype_tbl[t]
     tv = t > 0
+    if allow is not None:
+        tv = tv & jnp.asarray(allow, bool)
     sig = jnp.asarray(bt.sigma if sigma is None else sigma, dtype)
 
     def srow(off):  # S[i + off], broadcast over rows
@@ -414,7 +421,7 @@ def outside(ff: FoldFactors, bt: BoltzTables, ins: InsideState, n: jnp.ndarray,
 
 def adaptive_inside(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
                     dtype=jnp.float32, es0: float = SCALE_E0,
-                    max_iter: int = 8):
+                    max_iter: int = 8, allow=None):
     """Inside pass with per-instance adaptive pf scaling.
 
     Retries the (saturating) inside DP with sigma = exp(-es/kT) until the
@@ -427,7 +434,7 @@ def adaptive_inside(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
 
     def probe(es):
         sig = jnp.exp(-es / kt)
-        ff = fold_factors(bt, S, n, dtype, sig)
+        ff = fold_factors(bt, S, n, dtype, sig, allow)
         return inside(ff, bt, n, dtype, sig)
 
     def good(ins):
@@ -455,19 +462,19 @@ def adaptive_inside(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
 
 
 def fold(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
-         dtype=jnp.float32, scale_e=None):
+         dtype=jnp.float32, scale_e=None, allow=None):
     """Full inside/outside with adaptive pf scaling.
 
     Returns (InsideState, OutsideState).  Pass scale_e to pin the per-base
     scale energy (cal/mol) instead of adapting (e.g. reuse across decoys)."""
     bt = get_boltz(params)
     if scale_e is None:
-        es, ins = adaptive_inside(bt, S, n, dtype)
+        es, ins = adaptive_inside(bt, S, n, dtype, allow=allow)
         sig = jnp.exp(-es / jnp.asarray(bt.kt, dtype))
-        ff = fold_factors(bt, S, n, dtype, sig)
+        ff = fold_factors(bt, S, n, dtype, sig, allow)
     else:
         sig = jnp.exp(-jnp.asarray(scale_e, dtype) / jnp.asarray(bt.kt, dtype))
-        ff = fold_factors(bt, S, n, dtype, sig)
+        ff = fold_factors(bt, S, n, dtype, sig, allow)
         ins = inside(ff, bt, n, dtype, sig)
     out = outside(ff, bt, ins, n, dtype, sig)
     return ins, out
@@ -483,7 +490,7 @@ def log_partition(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
 
 
 def base_pair_probs(params: EnergyParams, S: jnp.ndarray, n: jnp.ndarray,
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32, allow=None) -> jnp.ndarray:
     """[L, L] base-pair probability matrix (upper triangle)."""
-    _, out = fold(params, S, n, dtype)
+    _, out = fold(params, S, n, dtype, allow=allow)
     return out.bpp

@@ -155,36 +155,17 @@ class BatchResult:
     energies: np.ndarray | None = None   # [B, 5]: e1 e2 e3 e1s e2s (kcal/mol)
 
 
-def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
-                  opts: Options | None = None, chunk: int = 256,
-                  iters: int = 3000, buckets=DEFAULT_BUCKETS,
-                  want_energy: bool = False) -> BatchResult:
-    """Predict joint structures for a list of (seq1, seq2) on device.
-
-    All pairs share one padded shape (the max bucket), so the whole sweep is
-    one compiled executable; chunking bounds device memory.
-    """
-    opts = opts or Options()
-    cfg = opts.solver_cfg()
+def _run_chunk(params: EnergyParams, pairs, S1, n1, S2, n2,
+               cfg: SolverConfig, opts: Options, buckets, iters: int,
+               want_energy: bool) -> dict:
+    """One device dispatch + host decode; returns plain numpy arrays (so
+    chunks are directly storable by utils.checkpoint)."""
+    out = predict_device(
+        params, jnp.asarray(S1), jnp.asarray(n1), jnp.asarray(S2),
+        jnp.asarray(n2), cfg, buckets=buckets, iters=iters,
+        use_pf_duplex=opts.use_pf_duplex, with_ss=want_energy)
+    out = jax.tree_util.tree_map(np.asarray, out)
     B = len(pairs)
-    L1 = max(bucket_length(len(a)) for a, _ in pairs)
-    L2 = max(bucket_length(len(b)) for _, b in pairs)
-    S1 = np.stack([encode(a, L1) for a, _ in pairs])
-    S2 = np.stack([encode(b, L2) for _, b in pairs])
-    n1 = np.array([len(a) for a, _ in pairs], np.int32)
-    n2 = np.array([len(b) for _, b in pairs], np.int32)
-
-    outs = []
-    for s in range(0, B, chunk):
-        e = min(B, s + chunk)
-        outs.append(predict_device(
-            params, jnp.asarray(S1[s:e]), jnp.asarray(n1[s:e]),
-            jnp.asarray(S2[s:e]), jnp.asarray(n2[s:e]), cfg,
-            buckets=buckets, iters=iters, use_pf_duplex=opts.use_pf_duplex,
-            with_ss=want_energy))
-    out = jax.tree_util.tree_map(lambda *t: np.concatenate(t), *outs) \
-        if len(outs) > 1 else jax.tree_util.tree_map(np.asarray, outs[0])
-
     r1s, r2s, energies = [], [], np.zeros((B, 5))
     for b in range(B):
         prob = _tree_index(out["prob"], b)
@@ -207,12 +188,58 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
             e1s = eos.structure_energy(params, Sa, eos.parse_pairs(rs1)) / 100.0
             e2s = eos.structure_energy(params, Sb, eos.parse_pairs(rs2)) / 100.0
             energies[b] = (e1, e2, e3, e1s, e2s)
+    return dict(r1=np.asarray(r1s), r2=np.asarray(r2s),
+                obj=np.asarray(out["obj"]), bound=np.asarray(out["bound"]),
+                mv=np.asarray(out["mv"]), overflow=np.asarray(out["overflow"]),
+                energies=energies)
 
+
+def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
+                  opts: Options | None = None, chunk: int = 256,
+                  iters: int = 3000, buckets=DEFAULT_BUCKETS,
+                  want_energy: bool = False,
+                  ckpt_dir: str | None = None) -> BatchResult:
+    """Predict joint structures for a list of (seq1, seq2) on device.
+
+    All pairs share one padded shape (the max bucket), so the whole sweep is
+    one compiled executable; chunking bounds device memory.  With ckpt_dir,
+    each completed chunk is persisted (utils.checkpoint.SweepCheckpoint) and
+    a restarted sweep resumes after the last finished chunk.
+    """
+    opts = opts or Options()
+    cfg = opts.solver_cfg()
+    B = len(pairs)
+    L1 = max(bucket_length(len(a)) for a, _ in pairs)
+    L2 = max(bucket_length(len(b)) for _, b in pairs)
+    S1 = np.stack([encode(a, L1) for a, _ in pairs])
+    S2 = np.stack([encode(b, L2) for _, b in pairs])
+    n1 = np.array([len(a) for a, _ in pairs], np.int32)
+    n2 = np.array([len(b) for _, b in pairs], np.int32)
+
+    starts = list(range(0, B, chunk))
+
+    def run(i: int) -> dict:
+        s, e = starts[i], min(B, starts[i] + chunk)
+        return _run_chunk(params, pairs[s:e], S1[s:e], n1[s:e], S2[s:e],
+                          n2[s:e], cfg, opts, buckets, iters, want_energy)
+
+    if ckpt_dir is not None:
+        from ..utils.checkpoint import SweepCheckpoint
+        import hashlib
+        fp = hashlib.sha256(
+            repr((list(pairs), cfg, chunk, iters, buckets,
+                  want_energy)).encode()).hexdigest()[:16]
+        store = SweepCheckpoint(ckpt_dir, fp)
+        chunks = store.map_chunks(len(starts), run)
+    else:
+        chunks = [run(i) for i in range(len(starts))]
+
+    cat = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
     return BatchResult(
-        r1=r1s, r2=r2s, objective=np.asarray(out["obj"]),
-        bound=np.asarray(out["bound"]), violation=np.asarray(out["mv"]),
-        overflow=np.asarray(out["overflow"]),
-        energies=energies if want_energy else None)
+        r1=[str(x) for x in cat["r1"]], r2=[str(x) for x in cat["r2"]],
+        objective=cat["obj"], bound=cat["bound"], violation=cat["mv"],
+        overflow=cat["overflow"],
+        energies=cat["energies"] if want_energy else None)
 
 
 def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.fasta import Fasta
-from ..ops import eos
+from ..ops import constraints, eos
 from ..ops.accessibility import accessibility
 from ..ops.cofold import cofold_hybrid_probs
 from ..ops.duplex import hybrid_probs
@@ -43,6 +43,7 @@ class Options(SolverConfig):
     show_energy: bool = False
     use_constraint: bool = False
     use_pf_duplex: bool = False     # hidden --duplex flag: pure-duplex model
+    use_contrafold: bool = False    # --contrafold: learned-CRF scoring model
 
     def solver_cfg(self) -> SolverConfig:
         return SolverConfig(**{f.name: getattr(self, f.name)
@@ -67,23 +68,56 @@ class Posteriors:
 
     def __init__(self, params: EnergyParams, s1: str, s2: str,
                  max_w: int, need_acc: bool, dtype=jnp.float32,
-                 use_pf_duplex: bool = False):
+                 use_pf_duplex: bool = False,
+                 cstr1: str | None = None, cstr2: str | None = None,
+                 use_contrafold: bool = False):
         self.n1, self.n2 = len(s1), len(s2)
         self.L1, self.L2 = bucket_length(self.n1), bucket_length(self.n2)
         S1 = jnp.asarray(encode(s1, self.L1))
         S2 = jnp.asarray(encode(s2, self.L2))
         n1, n2 = jnp.int32(self.n1), jnp.int32(self.n2)
-        self.bpp1 = np.asarray(base_pair_probs(params, S1, n1, dtype))
-        self.bpp2 = np.asarray(base_pair_probs(params, S2, n2, dtype))
+        if use_contrafold:
+            # --contrafold: learned-CRF probability source (reference
+            # src/ractip.cpp:195-246 contrafold()/contraduplex(), latent
+            # behind #ifdef USE_CONTRAFOLD).  Accessibility is the driver's
+            # width-1 proxy up[i] = max(0, 1 - sum_j bp(i,j)) (:213-222).
+            from ..ops.contraduplex import cd_hybrid_probs
+            from ..ops.contrafold import cf_base_pair_probs, cf_unpaired_probs
+            self.bpp1 = np.asarray(cf_base_pair_probs(S1, n1))
+            self.bpp2 = np.asarray(cf_base_pair_probs(S2, n2))
+            self.hp = np.asarray(cd_hybrid_probs(S1, S2, n1, n2))
+            if need_acc:
+                w = max(1, max_w)
+                pu1 = np.zeros((self.L1, w + 1), np.float64)
+                pu2 = np.zeros((self.L2, w + 1), np.float64)
+                pu1[:, 1] = np.asarray(cf_unpaired_probs(self.bpp1))
+                pu2[:, 1] = np.asarray(cf_unpaired_probs(self.bpp2))
+                self.pu1, self.pu2 = pu1, pu2
+            else:
+                self.pu1 = self.pu2 = None
+            return
+        # -c/--use-constraint: pf-level hard-constraint masks from the FASTA
+        # constraint strings (reference src/ractip.cpp:270-290, :403-444)
+        al1 = constraints.fold_allow(cstr1, self.n1, self.L1)
+        al2 = constraints.fold_allow(cstr2, self.n2, self.L2)
+        alc = constraints.cofold_allow(cstr1, cstr2, self.n1, self.n2,
+                                       self.L1 + self.L2)
+        self.bpp1 = np.asarray(base_pair_probs(params, S1, n1, dtype,
+                                               allow=al1))
+        self.bpp2 = np.asarray(base_pair_probs(params, S2, n2, dtype,
+                                               allow=al2))
         if use_pf_duplex:
+            # reference: the pf_duplex path ignores constraints (:390-399)
             self.hp = np.asarray(hybrid_probs(params, S1, S2, n1, n2, dtype))
         else:
             self.hp = np.asarray(cofold_hybrid_probs(
-                params, S1, S2, n1, n2, dtype))
+                params, S1, S2, n1, n2, dtype, allow=alc))
         if need_acc:
             w = max(1, max_w)
-            self.pu1 = np.asarray(accessibility(params, S1, n1, w, dtype))
-            self.pu2 = np.asarray(accessibility(params, S2, n2, w, dtype))
+            self.pu1 = np.asarray(accessibility(params, S1, n1, w, dtype,
+                                                allow=al1))
+            self.pu2 = np.asarray(accessibility(params, S2, n2, w, dtype,
+                                                allow=al2))
         else:
             self.pu1 = self.pu2 = None
 
@@ -133,7 +167,10 @@ def solve_pair(params: EnergyParams, fa1: Fasta, fa2: Fasta, opts: Options,
     if post is None:
         post = Posteriors(params, fa1.seq, fa2.seq, opts.max_w,
                           cfg.accessibility,
-                          use_pf_duplex=opts.use_pf_duplex)
+                          use_pf_duplex=opts.use_pf_duplex,
+                          cstr1=fa1.str_ if opts.use_constraint else None,
+                          cstr2=fa2.str_ if opts.use_constraint else None,
+                          use_contrafold=opts.use_contrafold)
     n1, n2 = post.n1, post.n2
     prob = build_problem(post.bpp1, post.bpp2, post.hp, post.pu1, post.pu2,
                          n1, n2, cfg, fa1.str_, fa2.str_)

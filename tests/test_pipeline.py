@@ -66,3 +66,14 @@ def test_acc_max_mode():
                                          show_energy=True))
     assert "(" not in pred.r1 and "(" not in pred.r2
     _check_brackets(R1INV, pred.r1)
+
+
+def test_contrafold_source():
+    # --contrafold: learned-CRF probability source (reference latent path,
+    # src/ractip.cpp:195-246); R1inv/R2inv is a strong kissing pair, so the
+    # CRF posteriors should still produce external pairs
+    pred = predict(R1INV, R2INV, Options(use_contrafold=True))
+    _check_brackets(R1INV, pred.r1)
+    _check_brackets(R2INV, pred.r2)
+    _check_pair(pred)
+    assert "[" in pred.r1
