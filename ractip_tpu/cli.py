@@ -146,7 +146,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f">{fa2.name}\n{fa2.seq}\n{r2}")
         return 0
 
-    if args.zscore in (1, 2, 12) and args.batch:
+    # the batched device path does not carry constraint masks or the
+    # CONTRAfold model; silently dropping -c/--contrafold there would
+    # diverge from the reference (which honors -c in z-score runs), so
+    # those flags route through the exact non-batched path instead.
+    can_batch = args.batch and not opts.use_contrafold and not (
+        opts.use_constraint and (fa1.str_ or fa2.str_))
+    if args.zscore in (1, 2, 12) and args.batch and not can_batch:
+        print("ractip-tpu: -c/--contrafold not supported on the batched "
+              "z-score path; falling back to the sequential path",
+              file=sys.stderr)
+    if args.zscore in (1, 2, 12) and can_batch:
         z, zs, stats = batched.zscore_batch(
             fa1, fa2, opts, params, chunk=args.chunk)
         r1, r2 = stats["brackets"]

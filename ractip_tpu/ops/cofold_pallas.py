@@ -1,0 +1,570 @@
+"""Pallas TPU megakernels for the co-folding (joint two-strand) DP.
+
+Extends ops/scan_pallas.py's column-scan design to ops.cofold's cut-aware
+recurrences (the reference's default hybridization source: Vienna co_pf_fold
+over s1+s2 with cut_point = |s1|+1, reference src/ractip.cpp:384-459):
+
+  * every loop-stretch term is gated by the dynamic cut masks (M5 jumps,
+    J1 junctions, the window's source-column mask) -- cut = n1 is a
+    PER-INSTANCE [B] input, so the masks are [B, L] tiles precomputed into
+    scratch at the first grid step;
+  * the exterior-segment table qx is a second resident matrix; its
+    column recurrence is one more statically-unrolled contraction;
+  * the exposed-cut spanning-pair cases read qxA = qx[:, cut-1] (captured
+    in-flight when the scan crosses the cut) and, in the outside pass,
+    accumulate the spanning-pair adjoints (vvec / wvec / GA) exactly as
+    ops.cofold.co_outside's two-phase sweep does -- the phase boundary
+    becomes a per-instance blend plus a pl.when-gated GA build.
+
+Semantics are IDENTICAL to ops.cofold.co_inside/co_outside;
+tests/test_cofold_pallas.py asserts agreement in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAXLOOP
+from ..params.boltz import BoltzTables, get_boltz
+from .cofold import CoFactors, CoInsideState, co_factors
+from .mccaskill import HUGE, SCALE_E0, ZHI, ZLO, W
+from .scan_pallas import (F32, POW2, _at, _clamp, _from_cbl, _lane_iota,
+                          _ldn, _lup, _pad_batch, _prefix_scan, _sig_tables,
+                          _suffix_scan, _to_cbl, q2_pallas)
+
+CO_FIELDS = CoFactors._fields                   # 16 names (15 + fcx)
+
+
+def _m5(d, cut, lane):
+    """M5[d]: allow a 5' jump i -> i+d.  [B, L] float mask."""
+    return (~((lane < cut) & (cut <= lane + d))).astype(F32)
+
+
+def _onehot_read(t, idx):
+    """t[:, idx] -> [B, 1] via one-hot lane reduction (idx traced scalar)."""
+    lane = _lane_iota(t.shape)
+    return jnp.sum(jnp.where(lane == idx, t, 0.0), axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------------
+# inside kernel
+# --------------------------------------------------------------------------
+
+def _co_inside_kernel(
+        fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
+        fmb, fmc, fe, fcx,                      # factor column refs (1, B, L)
+        w2k, bulge_k, sig, pows, cut,           # per-instance inputs
+        qb_o, qm_o, qm1_o, qx_o, q1_o,          # outputs
+        qmS, qxS, Qb, Mb, Ab, qm1P, qxP, qxA, q1S, M5S, J1S,   # scratch
+        *, L: int, B: int):
+    j = pl.program_id(1)
+    ct = cut[:, 0:1]                            # [B, 1] int32
+    lane = _lane_iota((B, L))
+
+    @pl.when(j == 0)
+    def _init():
+        qmS[...] = jnp.zeros_like(qmS)
+        qxS[...] = jnp.zeros_like(qxS)
+        Qb[...] = jnp.zeros_like(Qb)
+        Mb[...] = jnp.zeros_like(Mb)
+        Ab[...] = jnp.zeros_like(Ab)
+        qm1P[...] = jnp.zeros_like(qm1P)
+        qxP[...] = jnp.zeros_like(qxP)
+        qxA[...] = jnp.zeros_like(qxA)
+        q1S[...] = jnp.zeros_like(q1S)
+        for d in range(W + 2):
+            M5S[d] = _m5(d, ct, lane)
+        J1S[...] = (lane != ct).astype(F32)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]
+    sm = pows[:, 0:1]
+    J1 = J1S[...]
+
+    # capture qxA when the scan crosses the cut: qxA[p] = qx[p, cut-1]
+    # (empty segment at p == cut -> 1, p > cut -> 0)
+    qxA_new = jnp.where(lane < ct, qxP[...],
+                        jnp.where(lane == ct, 1.0, 0.0))
+    qxA[...] = jnp.where(j == ct, qxA_new, qxA[...])
+
+    # window source mask: slot b = column j - W + b; stretch (src..j] must
+    # not cross the cut  (scalar j, per-instance cut)
+    def bm(b):
+        src = j - W + b
+        return ((src >= ct) | (j < ct)).astype(F32)
+
+    X = [Qb[b] * Mb[b] * bm(b) for b in range(W)]
+    A = [Qb[b] * Ab[b] * bm(b) for b in range(W)]
+
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(u1, W - 1):
+            t = X[b] * _at(w2k, u1, W - 1 - b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + M5S[u1 + 1] * _lup(acc, u1 + 1)
+    gen = gen * col(mout)
+
+    acol = A[W - 1]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * M5S[m + 1] * _lup(acol, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(0, W - 2):
+        b3 = b3 + A[b] * bulge_k[:, W - 1 - b:W - b]
+    bulges = col(tau) * (b5 + M5S[1] * _lup(b3, 1))
+
+    # multiloop closing (junction gated by J1)
+    v = _lup(qm1P[...], 1) * _lup(J1, 1)
+    qm2col = jnp.zeros((B, L), F32)
+    for l in range(L - 1):
+        qm2col = qm2col + qmS[l] * v[:, l:l + 1]
+    qm2col = _clamp(qm2col)
+
+    # exposed-cut case: fcx * q(i+1, c-1) * q(c, j-1)
+    qxB = jnp.where(j > ct, _onehot_read_row(qxP[...], ct), 1.0)
+    spancol = col(fcx) * _lup(qxA[...], 1) * qxB
+
+    mlgate = (j != ct).astype(F32)
+    qbcol = (col(fhn) + gen + bulges
+             + col(pstk) * _lup(Qb[W - 1], 1)
+             + col(p11) * _lup(Qb[W - 2], 2)
+             + col(p21a) * _lup(Qb[W - 3], 2)
+             + col(p21b) * _lup(Qb[W - 2], 3)
+             + col(p22) * _lup(Qb[W - 3], 3)
+             + col(pb15) * _lup(Qb[W - 1], 2)
+             + col(pb13) * _lup(Qb[W - 2], 1)
+             + mlgate * col(fmc) * sg * sg * (M5S[1] * _lup(qm2col, 1))
+             + spancol)
+    qbcol = _clamp(qbcol)
+
+    qm1col = _clamp(mlgate * sm * qm1P[...] + qbcol * col(fmb))
+
+    # qmcol = D_cut @ qm1col + qm @ (shift(qm1col) * shift(J1))
+    vfull = _suffix_scan(qm1col, pows, L)
+    vlow = _suffix_scan(qm1col * (lane < ct).astype(F32), pows, L)
+    dterm = jnp.where(lane < ct, vlow, vfull)
+    v2 = _lup(qm1col, 1) * _lup(J1, 1)
+    ml2 = jnp.zeros((B, L), F32)
+    for l in range(L - 1):
+        ml2 = ml2 + qmS[l] * v2[:, l:l + 1]
+    qmcol = _clamp(dterm + ml2)
+
+    # exterior prefix q1
+    q1_prev = _onehot_read(q1S[...], j - 1)
+    q1_prev = jnp.where(j >= 1, q1_prev, 1.0)
+    q1pad = jnp.where(lane == 0, 1.0, _ldn(q1S[...], 1))
+    qbecol = qbcol * col(fe)
+    q1val = _clamp(sg * q1_prev
+                   + jnp.sum(q1pad * qbecol, axis=1, keepdims=True))
+    q1S[...] = jnp.where(lane == j, q1val, q1S[...])
+
+    # exterior-segment table column: qx[a, j]
+    onej = (lane == j).astype(F32)
+    qxsh = jnp.zeros((B, L), F32)
+    for k in range(1, L):
+        qxsh = qxsh + qxS[k - 1] * qbecol[:, k:k + 1]
+    qxcol = _clamp(sg * (qxP[...] + onej) + qxsh + qbecol)
+
+    # commit state + outputs
+    qmS[j] = qmcol
+    qxS[j] = qxcol
+    Qb[...] = jnp.concatenate([Qb[1:], qbcol[None]], axis=0)
+    Mb[...] = jnp.concatenate([Mb[1:], col(minn)[None]], axis=0)
+    Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
+    qm1P[...] = qm1col
+    qxP[...] = qxcol
+
+    qb_o[0] = qbcol
+    qm_o[0] = qmcol
+    qm1_o[0] = qm1col
+    qx_o[0] = qxcol
+    q1_o[...] = q1S[...]
+
+
+def _onehot_read_row(t, idx_vec):
+    """t[:, idx_vec[b]] per batch row -> [B, 1] (idx per-instance [B, 1])."""
+    lane = _lane_iota(t.shape)
+    return jnp.sum(jnp.where(lane == idx_vec, t, 0.0), axis=1, keepdims=True)
+
+
+def co_inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, cut, L: int,
+                     B: int, b_blk: int = 8, interpret: bool = False):
+    nb = B // b_blk
+    fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
+    mat = jax.ShapeDtypeStruct((L, B, L), F32)
+    return pl.pallas_call(
+        functools.partial(_co_inside_kernel, L=L, B=b_blk),
+        grid=(nb, L),
+        in_specs=[fcol] * 16 + [fall((b_blk, W, W)), fall((b_blk, W)),
+                                fall((b_blk, 1)), fall((b_blk, POW2)),
+                                fall((b_blk, 1))],
+        out_specs=(out_col, out_col, out_col, out_col,
+                   pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))),
+        out_shape=(mat, mat, mat, mat, jax.ShapeDtypeStruct((B, L), F32)),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # qmS
+            pltpu.VMEM((L, b_blk, L), F32),     # qxS
+            pltpu.VMEM((W, b_blk, L), F32),     # Qb
+            pltpu.VMEM((W, b_blk, L), F32),     # Mb
+            pltpu.VMEM((W, b_blk, L), F32),     # Ab
+            pltpu.VMEM((b_blk, L), F32),        # qm1P
+            pltpu.VMEM((b_blk, L), F32),        # qxP
+            pltpu.VMEM((b_blk, L), F32),        # qxA
+            pltpu.VMEM((b_blk, L), F32),        # q1S
+            pltpu.VMEM((W + 2, b_blk, L), F32),  # M5S
+            pltpu.VMEM((b_blk, L), F32),        # J1S
+        ],
+        interpret=interpret,
+    )(*factors_cbl, w2k, bulge_k, sig, pows, cut)
+
+
+# --------------------------------------------------------------------------
+# outside kernel
+# --------------------------------------------------------------------------
+
+def _co_outside_kernel(
+        fe, fmb, fmc, mout, minn, taur, tau, fcx,      # cols at c
+        pstk1, p111, p21a1, p21b1, p221, pb151, pb131,  # cols at c+dj
+        qm1c, qm1m,                                    # qm1 cols at c, c-1
+        qmT, qxRow, q1pad, q2,                         # full inputs
+        w2k, bulge_k, sig, pows, cut,
+        ob_o,
+        omS, Ob, OMb, OAb, pendS, sm1S, vvecS, wvecS, GAS, qxAS, qBprefS,
+        M5S, J1S,
+        *, L: int, B: int):
+    j = pl.program_id(1)
+    c = L - 1 - j
+    ct = cut[:, 0:1]
+    lane = _lane_iota((B, L))
+
+    @pl.when(j == 0)
+    def _init():
+        omS[...] = jnp.zeros_like(omS)
+        Ob[...] = jnp.zeros_like(Ob)
+        OMb[...] = jnp.zeros_like(OMb)
+        OAb[...] = jnp.zeros_like(OAb)
+        pendS[...] = jnp.zeros_like(pendS)
+        sm1S[...] = jnp.zeros_like(sm1S)
+        vvecS[...] = jnp.zeros_like(vvecS)
+        wvecS[...] = jnp.zeros_like(wvecS)
+        GAS[...] = jnp.zeros_like(GAS)
+        for d in range(W + 2):
+            M5S[d] = _m5(d, ct, lane)
+        J1S[...] = (lane != ct).astype(F32)
+        # qxA[p] = qx[p, cut-1] (p<cut), 1 at p==cut, 0 beyond
+        qx_full = qxRow[...]                    # [B, L, L]
+        lcol = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 2)
+        qxa = jnp.sum(jnp.where(lcol == (ct - 1)[:, :, None], qx_full, 0.0),
+                      axis=2)
+        qxAS[...] = jnp.where(lane < ct, qxa,
+                              jnp.where(lane == ct, 1.0, 0.0))
+        # qBpref[k] = qx(cut, k-1) (empty prefix at k==cut -> 1; 0 below cut)
+        irow = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 1)
+        qbrow = jnp.sum(jnp.where(irow == ct[:, :, None], qx_full, 0.0),
+                        axis=1)                 # [B, L] = qx[cut, :]
+        qbp = jnp.where(lane == ct, 1.0, _ldn(qbrow, 1))
+        qBprefS[...] = jnp.where(lane >= ct, qbp, 0.0)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]
+    sm = pows[:, 0:1]
+    J1 = J1S[...]
+
+    omcol = omS[c]
+    qmt = jnp.zeros((B, L), F32)
+    for i in range(L):
+        qmt = qmt + qmT[i] * omcol[:, i:i + 1]
+    # D_cut.T @ omcol: prefix scan split at the cut
+    pfull = _prefix_scan(omcol, pows, L)
+    phigh = _prefix_scan(omcol * (lane >= ct).astype(F32), pows, L)
+    dterm = jnp.where(lane < ct, pfull, phigh)
+    om1col = pendS[...] + dterm + J1 * _ldn(qmt, 1)
+    sm1gate = (c + 1 != ct).astype(F32)
+    sm1 = om1col + sm1gate * sm * sm1S[...]
+    sm1S[...] = sm1
+
+    q2c1 = _onehot_read(q2[...], c + 1)
+    obcol = q1pad[...] * col(fe) * q2c1
+    obcol = obcol + col(fmb) * sm1
+
+    # window source mask (mirror): outer col s = c+1+b must not cross
+    def bm(b):
+        src = c + 1 + b
+        return ((c >= ct) | (src < ct)).astype(F32)
+
+    OM = [OMb[b] * bm(b) for b in range(W)]
+    OA = [OAb[b] * bm(b) for b in range(W)]
+
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(1, MAXLOOP + 1 - u1):
+            t = OM[b] * _at(w2k, u1, b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + _ldn(M5S[u1 + 1] * acc, u1 + 1)
+    obcol = obcol + gen * col(minn)
+
+    oa1 = OA[0]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * _ldn(M5S[m + 1] * oa1, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(2, W):
+        b3 = b3 + OA[b] * bulge_k[:, b:b + 1]
+    b3 = M5S[1] * b3
+    obcol = obcol + col(taur) * (b5 + _ldn(b3, 1))
+
+    for ref, di, dj in ((pstk1, 1, 1), (p111, 2, 2), (p21a1, 2, 3),
+                        (p21b1, 3, 2), (p221, 3, 3), (pb151, 2, 1),
+                        (pb131, 1, 2)):
+        pc = jnp.where(c + dj < L, col(ref), 0.0)
+        obcol = obcol + _ldn(pc * Ob[dj - 1], di)
+
+    # exposed-segment adjoints -------------------------------------------
+    # strand-B branch (k, c), c >= cut: fe * qBpref * H_B(c)
+    qrow = qxRow[:, jnp.minimum(c + 1, L - 1), :]       # [B, L]
+    hb = jnp.sum(_lup(vvecS[...], 1) * qrow, axis=1, keepdims=True)
+    hb = hb + jnp.where(c + 1 < L, _onehot_read(vvecS[...], c + 1), 0.0)
+    obcol = obcol + jnp.where(c >= ct, hb, 0.0) * col(fe) * qBprefS[...]
+
+    # strand-A branch (k, c), c < cut: fe * GA * q(c+1, cut-1)
+    # (GA is built once per instance when its scan crosses the cut)
+    @pl.when(jnp.any((c + 1 == ct[:, 0]) & (ct[:, 0] > 0)))
+    def _build_ga():
+        # wvec is complete for the crossing instances: GA[k] =
+        # sum_i wvec[i] * qx(i+1, k-1) + wvec[k-1]
+        ga = _ldn(wvecS[...], 1)
+        wv = wvecS[...]
+        for i in range(L - 1):
+            ga = ga + wv[:, i:i + 1] * _ldn(qxRow[:, i + 1, :], 1)
+        GAS[...] = jnp.where(c + 1 == ct, ga, GAS[...])
+
+    qseg = _onehot_read(qxAS[...], c + 1)               # q(c+1, cut-1)
+    obcol = obcol + jnp.where(c < ct, qseg, 0.0) * col(fe) * GAS[...]
+    obcol = _clamp(obcol)
+
+    # --- scatters feeding later steps -----------------------------------
+    mlgate = (c != ct).astype(F32)
+    a = M5S[1] * (obcol * col(fmc) * sg * sg * mlgate)
+    ash = _ldn(a, 1)
+    qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
+    w1 = _lup(qm1_cm1, 1) * _lup(J1, 1)
+    w2_ = _lup(col(qm1c), 1) * _lup(J1, 1)
+    for m in range(L):
+        omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
+
+    qmt2 = jnp.zeros((B, L), F32)
+    for i in range(L):
+        qmt2 = qmt2 + qmT[i] * ash[:, i:i + 1]
+    pendS[...] = J1 * _ldn(qmt2, 1)
+
+    # spanning-pair adjoint accumulators (columns >= cut only)
+    vval = jnp.sum(obcol * col(fcx) * _lup(qxAS[...], 1), axis=1,
+                   keepdims=True)
+    vval = jnp.where(c >= ct, vval, 0.0)
+    vvecS[...] = jnp.where(lane == c, vval, vvecS[...])
+    qxBr_c = _onehot_read(qBprefS[...], c)      # qx(cut, c-1)
+    wvecS[...] = wvecS[...] + jnp.where(c >= ct, 1.0, 0.0) \
+        * obcol * col(fcx) * qxBr_c
+
+    Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
+    OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
+    OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
+    ob_o[0] = obcol
+
+
+def co_outside_pallas(factors_cbl, qm_cbl, qm1_cbl, qx, q1pad, q2, w2k,
+                      bulge_k, sig, pows, cut, L: int, B: int,
+                      b_blk: int = 8, interpret: bool = False):
+    """qx arrives in natural [B, L, L] layout (row reads in-kernel)."""
+    nb = B // b_blk
+    ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
+
+    def ahead(dj):
+        return pl.BlockSpec(
+            (1, b_blk, L),
+            lambda b, j: (jnp.minimum(L - 1 - j + dj, L - 1), b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    qmT = jnp.transpose(qm_cbl, (2, 1, 0))
+    f = dict(zip(CO_FIELDS, factors_cbl))
+    ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
+           f["tau"], f["fcx"], f["pstk"], f["p11"], f["p21a"], f["p21b"],
+           f["p22"], f["pb15"], f["pb13"], qm1_cbl, qm1_cbl, qmT, qx,
+           q1pad, q2, w2k, bulge_k, sig, pows, cut]
+    in_specs = ([ccol] * 8
+                + [ahead(dj) for dj in (1, 2, 3, 2, 3, 1, 2)]
+                + [ccol,
+                   pl.BlockSpec((1, b_blk, L),
+                                lambda b, j: (jnp.maximum(L - 2 - j, 0), b, 0)),
+                   pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0)),
+                   pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
+                   fall((b_blk, L)), fall((b_blk, L + 1)),
+                   fall((b_blk, W, W)), fall((b_blk, W)), fall((b_blk, 1)),
+                   fall((b_blk, POW2)), fall((b_blk, 1))])
+
+    return pl.pallas_call(
+        functools.partial(_co_outside_kernel, L=L, B=b_blk),
+        grid=(nb, L),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, B, L), F32),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # omS
+            pltpu.VMEM((W, b_blk, L), F32),     # Ob
+            pltpu.VMEM((W, b_blk, L), F32),     # OMb
+            pltpu.VMEM((W, b_blk, L), F32),     # OAb
+            pltpu.VMEM((b_blk, L), F32),        # pendS
+            pltpu.VMEM((b_blk, L), F32),        # sm1S
+            pltpu.VMEM((b_blk, L), F32),        # vvecS
+            pltpu.VMEM((b_blk, L), F32),        # wvecS
+            pltpu.VMEM((b_blk, L), F32),        # GAS
+            pltpu.VMEM((b_blk, L), F32),        # qxAS
+            pltpu.VMEM((b_blk, L), F32),        # qBprefS
+            pltpu.VMEM((W + 2, b_blk, L), F32),  # M5S
+            pltpu.VMEM((b_blk, L), F32),        # J1S
+        ],
+        interpret=interpret,
+    )(*ins)
+
+
+# --------------------------------------------------------------------------
+# batched wrapper
+# --------------------------------------------------------------------------
+
+def _pack_concat(S1, S2, n1):
+    """Per-instance concatenation S1[:n1] ++ S2 into one padded buffer."""
+    L1, L2 = S1.shape[1], S2.shape[1]
+    L = L1 + L2
+
+    def one(s1, s2, m1):
+        idx = jnp.arange(L)
+        s2r = jnp.roll(jnp.concatenate([s2, jnp.zeros((L1,), s2.dtype)]), m1)
+        return jnp.where(idx < m1,
+                         jnp.concatenate([s1, jnp.zeros((L2,), s1.dtype)]),
+                         s2r)
+
+    return jax.vmap(one)(S1, S2, n1)
+
+
+def _co_batch_factors(bt, S, n, cut, sig, allow=None) -> CoFactors:
+    fn = lambda s, m, c, sg, al: co_factors(bt, s, m, c, F32, sg, al)
+    if allow is None:
+        return jax.vmap(lambda s, m, c, sg: fn(s, m, c, sg, None))(
+            S, n, cut, sig)
+    return jax.vmap(fn)(S, n, cut, sig, allow)
+
+
+def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
+    B, L = S.shape
+    sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
+    ff = _co_batch_factors(bt, S, n, cut, sig, allow)
+    w2k, bulge_k, pows = _sig_tables(bt, sig)
+    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in CO_FIELDS)
+    cut2 = cut[:, None].astype(jnp.int32)
+    qb_c, qm_c, qm1_c, qx_c, q1 = co_inside_pallas(
+        fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk, interpret)
+    qb, qm, qm1, qx = map(_from_cbl, (qb_c, qm_c, qm1_c, qx_c))
+    zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0), axis=1)[:, 0]
+    qbe = qb * ff.fe
+    q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
+                   b_blk, interpret)
+    hi = F32(0.99 * HUGE)
+    sat = (jnp.max(qb.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(qm.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(qx.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(q1, axis=1) >= hi) | ~jnp.isfinite(zn)
+    ins = CoInsideState(qb=qb, qm=qm, qm1=qm1, qx=qx, q1=q1, q2=q2, zn=zn,
+                        sat=sat)
+    return ins, ff, sig, (qm_c, qm1_c)
+
+
+def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
+                 interpret: bool = False, allow=None, es0: float = SCALE_E0):
+    """Batched joint fold of the concatenations; returns a dict with the
+    batched CoInsideState, ob, bpp over the concatenation, and hp [B, L1, L2]
+    (the reference's cross-cut hybridization posteriors)."""
+    bt = get_boltz(params)
+    B0, L1 = S1.shape
+    L2 = S2.shape[1]
+    B = -(-B0 // b_blk) * b_blk
+    S1 = _pad_batch(jnp.asarray(S1, jnp.int32), B)
+    S2 = _pad_batch(jnp.asarray(S2, jnp.int32), B)
+    n1 = jnp.maximum(_pad_batch(jnp.asarray(n1, jnp.int32), B), 1)
+    n2 = jnp.maximum(_pad_batch(jnp.asarray(n2, jnp.int32), B), 1)
+    if allow is not None:
+        allow = _pad_batch(jnp.asarray(allow, bool), B)
+    S = _pack_concat(S1, S2, n1)
+    n = n1 + n2
+    cut = n1
+    L = L1 + L2
+    kt = F32(bt.kt)
+    nf = jnp.maximum(n.astype(F32), 1.0)
+
+    es = jnp.full((B,), es0, F32)
+    ins, ff, sig, aux = _co_inside_once(bt, S, n, cut, es, b_blk, interpret,
+                                        allow)
+
+    def good(ins):
+        return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
+            & jnp.isfinite(ins.zn)
+
+    def cond(c):
+        es, ins, it = c
+        return (it < max_iter) & jnp.any(~good(ins))
+
+    def body(c):
+        es, ins, it = c
+        step = kt * 60.0 / nf
+        bad_hi = ins.sat | ~jnp.isfinite(ins.zn) | (ins.zn >= ZHI)
+        es2 = jnp.where(bad_hi, es + step,
+                        jnp.where(ins.zn > 0,
+                                  es + kt * jnp.log(ins.zn) / nf, es - step))
+        es2 = jnp.where(good(ins), es, es2)
+        ins2, _, _, _ = _co_inside_once(bt, S, n, cut, es2, b_blk, interpret,
+                                        allow)
+        return (es2, ins2, it + 1)
+
+    es, ins, _ = jax.lax.while_loop(cond, body, (es, ins, jnp.int32(0)))
+    sig = jnp.exp(-es / kt)
+    ff = _co_batch_factors(bt, S, n, cut, sig, allow)
+    w2k, bulge_k, pows = _sig_tables(bt, sig)
+    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in CO_FIELDS)
+    q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
+    cut2 = cut[:, None].astype(jnp.int32)
+    ob_c = co_outside_pallas(fcbl, _to_cbl(ins.qm), _to_cbl(ins.qm1), ins.qx,
+                             q1pad, ins.q2, w2k, bulge_k, sig[:, None], pows,
+                             cut2, L, B, b_blk, interpret)
+    ob = _from_cbl(ob_c)
+    zn = ins.zn
+    bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
+                    0.0)
+
+    # hp[i1, i2] = bpp[i1, n1 + i2] (cross block), masked to real lengths
+    def extract(bppi, m1, m2):
+        cols = m1 + jnp.arange(L2)[None, :]
+        rows = jnp.arange(L1)[:, None]
+        hp = bppi[rows, jnp.clip(cols, 0, L - 1)]
+        return jnp.where((rows < m1) & (jnp.arange(L2)[None, :] < m2), hp,
+                         0.0)
+
+    hp = jax.vmap(extract)(bpp, n1, n2)
+    sl = lambda t: t[:B0]
+    return dict(ins=jax.tree_util.tree_map(sl, ins), ob=sl(ob), bpp=sl(bpp),
+                hp=sl(hp), sig=sl(sig), es=sl(es))

@@ -72,6 +72,18 @@ def allow_from_db(c: str, L: int) -> np.ndarray:
                 allow[j, :] = False
                 allow[:, j] = False
                 allow[i, j] = allow[j, i] = True
+                # Vienna additionally forbids every pair crossing the forced
+                # span (make_ptypes / 2.x hard constraints zero ptype for
+                # (k,l) with k<i<=l<=j or i<=k<=j<l); without this the
+                # constrained ensemble admits pseudoknot-like crossings the
+                # reference's pf never counts.
+                jc = min(j, L - 1)
+                if i < L:
+                    allow[:i, i:jc + 1] = False
+                    allow[i:jc + 1, :i] = False
+                    allow[i:jc + 1, jc + 1:] = False
+                    allow[jc + 1:, i:jc + 1] = False
+                    allow[i, j] = allow[j, i] = True
             else:
                 # paired downstream: ban (k < i, i)
                 allow[:i, i] = False

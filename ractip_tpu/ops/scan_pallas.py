@@ -1,0 +1,567 @@
+"""Pallas TPU megakernels for the McCaskill column-scan DPs.
+
+Why a kernel: the jnp inside/outside passes (ops.mccaskill) execute the O(n^3)
+recurrence as a fori_loop of ~100 small XLA ops per column; on TPU each column
+costs ~ms of per-op dispatch overhead, so a 96nt batch-of-128 inside pass
+measures ~250 ms while its arithmetic is worth ~1 ms.  These kernels run the
+ENTIRE column scan on-core: all DP state lives in VMEM scratch across grid
+steps, per-column Boltzmann-factor columns are streamed from HBM by the Pallas
+pipeline, and each recurrence term is a handful of VPU ops on [B_blk, L]
+tiles (batch in sublanes, sequence position in lanes).
+
+Layout contract
+---------------
+* streamed matrices (factors, qm1 for the outside pass, DP outputs) use the
+  column-first layout (L_cols, B, L_i): BlockSpec (1, b_blk, L) satisfies the
+  Mosaic rule that a block's last two dims are (multiple-of-8, full-dim) and
+  delivers column j as a [b_blk, L] tile per grid step;
+* the in-kernel resident qm is scratch (L_cols, b_blk, L_i) so contractions
+  read qmS[l] via a static leading index -- the sums over l are STATICALLY
+  UNROLLED (the body is one column, so the unroll compiles once and runs for
+  every grid step);
+* per-instance values (sigma, the w2/bulge kernels, (sigma*ml_base)^(2^k))
+  are [B, ...] inputs broadcast across lanes.
+
+Semantics are IDENTICAL to ops.mccaskill.inside/outside (probability source
+of the reference: Vienna pf_fold with BL* tables, reference
+src/ractip.cpp:248-306); tests/test_scan_pallas.py asserts agreement with the
+jnp path in interpret mode; tools/tpu_smoke_scan.py re-asserts it on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAXLOOP
+from ..params.boltz import BoltzTables, get_boltz
+from .mccaskill import (HUGE, SCALE_E0, W, ZHI, ZLO, FoldFactors, InsideState,
+                        fold_factors)
+
+FACTOR_FIELDS = FoldFactors._fields           # 15 names, fixed order
+POW2 = 11                                     # doubling steps; covers L<=2048
+F32 = jnp.float32
+
+
+# --------------------------------------------------------------------------
+# lane-axis helpers ([B, L] tiles: batch in sublanes, position in lanes)
+# --------------------------------------------------------------------------
+
+def _lup(t: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[..., i] = t[..., i+k], zero fill (static k)."""
+    if k == 0:
+        return t
+    return jnp.concatenate([t[..., k:], jnp.zeros_like(t[..., :k])], axis=-1)
+
+
+def _ldn(t: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k == 0:
+        return t
+    return jnp.concatenate([jnp.zeros_like(t[..., :k]), t[..., :-k]], axis=-1)
+
+
+def _lane_iota(shape) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _suffix_scan(v: jnp.ndarray, pows, L: int) -> jnp.ndarray:
+    """y[i] = sum_{k>=i} a^(k-i) v[k] along lanes; pows[:, s] = a^(2^s)."""
+    y = v
+    s = 1
+    for idx in range(POW2):
+        if s >= L:
+            break
+        y = y + pows[:, idx:idx + 1] * _lup(y, s)
+        s *= 2
+    return y
+
+
+def _prefix_scan(v: jnp.ndarray, pows, L: int) -> jnp.ndarray:
+    """y[i] = sum_{k<=i} a^(i-k) v[k] along lanes."""
+    y = v
+    s = 1
+    for idx in range(POW2):
+        if s >= L:
+            break
+        y = y + pows[:, idx:idx + 1] * _ldn(y, s)
+        s *= 2
+    return y
+
+
+def _clamp(t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(t, F32(HUGE))
+
+
+def _at(ref3, a: int, b: int) -> jnp.ndarray:
+    """ref3[:, a, b] -> [B, 1] (static indices)."""
+    return ref3[:, a, b][:, None]
+
+
+def _to_cbl(m: jnp.ndarray) -> jnp.ndarray:
+    """[B, L_i, L_cols] -> (L_cols, B, L_i)."""
+    return jnp.transpose(m, (2, 0, 1))
+
+
+def _from_cbl(m: jnp.ndarray) -> jnp.ndarray:
+    """(L_cols, B, L_i) -> [B, L_i, L_cols]."""
+    return jnp.transpose(m, (1, 2, 0))
+
+
+# --------------------------------------------------------------------------
+# inside kernel
+# --------------------------------------------------------------------------
+
+def _inside_kernel(
+        fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
+        fmb, fmc, fe,                           # factor column refs (1, B, L)
+        w2k, bulge_k, sig, pows,                # (B,W,W), (B,W), (B,1), (B,P)
+        qb_o, qm_o, qm1_o, qm2_o, q1_o,         # outputs
+        qmS, Qb, Mb, Ab, qm1P, q1S,             # scratch
+        *, L: int, B: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        qmS[...] = jnp.zeros_like(qmS)
+        Qb[...] = jnp.zeros_like(Qb)
+        Mb[...] = jnp.zeros_like(Mb)
+        Ab[...] = jnp.zeros_like(Ab)
+        qm1P[...] = jnp.zeros_like(qm1P)
+        q1S[...] = jnp.zeros_like(q1S)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]                            # [B, 1]
+    sm = pows[:, 0:1]                           # smlb^1
+
+    # window tiles (slot b <-> column j - W + b)
+    X = [Qb[b] * Mb[b] for b in range(W)]
+    A = [Qb[b] * Ab[b] for b in range(W)]
+
+    # generic interior loops: gen[i] = mout * sum_{u1,b} X[i+1+u1, b] *
+    # w2k[u1, W-1-b]  (mirrors ops.mccaskill.inside's u1 loop)
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(u1, W - 1):              # u2 = W-1-b in [1, 30-u1]
+            t = X[b] * _at(w2k, u1, W - 1 - b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + _lup(acc, u1 + 1)
+    gen = gen * col(mout)
+
+    # bulges m >= 2
+    acol = A[W - 1]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * _lup(acol, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(0, W - 2):                   # m = W-1-b in [2, 30]
+        b3 = b3 + A[b] * bulge_k[:, W - 1 - b:W - b]
+    bulges = col(tau) * (b5 + _lup(b3, 1))
+
+    # multiloop closing: qm2col[i] = sum_l qm[i, l] * qm1_prev[l + 1]
+    v = _lup(qm1P[...], 1)
+    qm2col = jnp.zeros((B, L), F32)
+    for l in range(L - 1):                      # v[:, L-1] = 0
+        qm2col = qm2col + qmS[l] * v[:, l:l + 1]
+    qm2col = _clamp(qm2col)
+
+    qbcol = (col(fhn) + gen + bulges
+             + col(pstk) * _lup(Qb[W - 1], 1)
+             + col(p11) * _lup(Qb[W - 2], 2)
+             + col(p21a) * _lup(Qb[W - 3], 2)
+             + col(p21b) * _lup(Qb[W - 2], 3)
+             + col(p22) * _lup(Qb[W - 3], 3)
+             + col(pb15) * _lup(Qb[W - 1], 2)
+             + col(pb13) * _lup(Qb[W - 2], 1)
+             + col(fmc) * sg * sg * _lup(qm2col, 1))
+    qbcol = _clamp(qbcol)
+
+    qm1col = _clamp(sm * qm1P[...] + qbcol * col(fmb))
+
+    # qmcol = D @ qm1col + sum_l qm[i, l] * qm1col[l + 1]
+    v2 = _lup(qm1col, 1)
+    ml2 = jnp.zeros((B, L), F32)
+    for l in range(L - 1):
+        ml2 = ml2 + qmS[l] * v2[:, l:l + 1]
+    qmcol = _clamp(_suffix_scan(qm1col, pows, L) + ml2)
+
+    # exterior prefix q1 (one-hot lane addressing for the dynamic index j)
+    lane = _lane_iota((B, L))
+    q1_prev = jnp.sum(jnp.where(lane == j - 1, q1S[...], 0.0), axis=1,
+                      keepdims=True)
+    q1_prev = jnp.where(j >= 1, q1_prev, 1.0)
+    q1pad = jnp.where(lane == 0, 1.0, _ldn(q1S[...], 1))
+    q1val = _clamp(sg * q1_prev
+                   + jnp.sum(q1pad * qbcol * col(fe), axis=1, keepdims=True))
+    q1S[...] = jnp.where(lane == j, q1val, q1S[...])
+
+    # commit state + outputs
+    qmS[j] = qmcol
+    Qb[...] = jnp.concatenate([Qb[1:], qbcol[None]], axis=0)
+    Mb[...] = jnp.concatenate([Mb[1:], col(minn)[None]], axis=0)
+    Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
+    qm1P[...] = qm1col
+
+    qb_o[0] = qbcol
+    qm_o[0] = qmcol
+    qm1_o[0] = qm1col
+    qm2_o[0] = qm2col
+    q1_o[...] = q1S[...]          # constant-index block: final step wins
+
+
+def inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, L: int, B: int,
+                  b_blk: int = 8, interpret: bool = False):
+    """Batched inside pass.
+
+    factors_cbl: 15 arrays in (L_cols, B, L_i) layout.  Returns
+    (qb, qm, qm1, qm2) in the same layout + q1 [B, L]; qm2's last column is
+    left for the caller (as in ops.mccaskill.inside).
+    """
+    nb = B // b_blk
+    fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
+    qm2_col = pl.BlockSpec((1, b_blk, L),
+                           lambda b, j: (jnp.maximum(j - 1, 0), b, 0))
+    q1_full = pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))
+
+    kernel = functools.partial(_inside_kernel, L=L, B=b_blk)
+    mat = jax.ShapeDtypeStruct((L, B, L), F32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[fcol] * 15 + [fall((b_blk, W, W)), fall((b_blk, W)),
+                                fall((b_blk, 1)), fall((b_blk, POW2))],
+        out_specs=(out_col, out_col, out_col, qm2_col, q1_full),
+        out_shape=(mat, mat, mat, mat, jax.ShapeDtypeStruct((B, L), F32)),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # qmS
+            pltpu.VMEM((W, b_blk, L), F32),     # Qb
+            pltpu.VMEM((W, b_blk, L), F32),     # Mb
+            pltpu.VMEM((W, b_blk, L), F32),     # Ab
+            pltpu.VMEM((b_blk, L), F32),        # qm1P
+            pltpu.VMEM((b_blk, L), F32),        # q1S
+        ],
+        interpret=interpret,
+    )(*factors_cbl, w2k, bulge_k, sig, pows)
+
+
+# --------------------------------------------------------------------------
+# q2 (exterior suffix) kernel
+# --------------------------------------------------------------------------
+
+def _q2_kernel(qbe, sig, n, q2_o, q2S, *, L: int, B: int):
+    q2S[...] = jnp.ones_like(q2S)
+    lane = _lane_iota((B, L + 1))
+    sg = sig[:, 0:1]
+
+    def body(k, _):
+        i = L - 1 - k
+        row = qbe[:, i, :]                      # [B, L] (dynamic sublane idx)
+        s = jnp.sum(row * _lup(q2S[...], 1)[:, :L], axis=1, keepdims=True)
+        nxt = jnp.sum(jnp.where(lane == i + 1, q2S[...], 0.0), axis=1,
+                      keepdims=True)
+        val = jnp.where(i >= n[:, 0:1], 1.0, _clamp(sg * nxt + s))
+        q2S[...] = jnp.where(lane == i, val, q2S[...])
+        return 0
+
+    jax.lax.fori_loop(0, L, body, 0)
+    q2_o[...] = q2S[...]
+
+
+def q2_pallas(qbe, sig, n, L: int, B: int, b_blk: int = 8,
+              interpret: bool = False):
+    nb = B // b_blk
+    return pl.pallas_call(
+        functools.partial(_q2_kernel, L=L, B=b_blk),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((b_blk, L, L), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((b_blk, 1), lambda b: (b, 0)),
+                  pl.BlockSpec((b_blk, 1), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((b_blk, L + 1), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L + 1), F32),
+        scratch_shapes=[pltpu.VMEM((b_blk, L + 1), F32)],
+        interpret=interpret,
+    )(qbe, sig, n)
+
+
+# --------------------------------------------------------------------------
+# outside kernel
+# --------------------------------------------------------------------------
+
+def _outside_kernel(
+        fe, fmb, fmc, mout, minn, taur, tau,    # cols at c
+        pstk1, p111, p21a1, p21b1, p221, pb151, pb131,   # cols at c+dj
+        qm1c, qm1m,                             # qm1 cols at c, c-1
+        qmT, q1pad, q2,                         # full inputs
+        w2k, bulge_k, sig, pows,
+        ob_o,                                   # output (col block)
+        omS, Ob, OMb, OAb, pendS, sm1S,         # scratch
+        *, L: int, B: int):
+    j = pl.program_id(1)
+    c = L - 1 - j
+
+    @pl.when(j == 0)
+    def _init():
+        omS[...] = jnp.zeros_like(omS)
+        Ob[...] = jnp.zeros_like(Ob)
+        OMb[...] = jnp.zeros_like(OMb)
+        OAb[...] = jnp.zeros_like(OAb)
+        pendS[...] = jnp.zeros_like(pendS)
+        sm1S[...] = jnp.zeros_like(sm1S)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]
+    sm = pows[:, 0:1]
+
+    omcol = omS[c]
+    # om1col = om1[:, c](pending) + D.T @ omcol + shift_down(qm.T @ omcol, 1)
+    qmt = jnp.zeros((B, L), F32)
+    for i in range(L):
+        qmt = qmt + qmT[i] * omcol[:, i:i + 1]
+    om1col = pendS[...] + _prefix_scan(omcol, pows, L) + _ldn(qmt, 1)
+    sm1 = om1col + sm * sm1S[...]
+    sm1S[...] = sm1
+
+    # --- ob column c ---  (q2[c+1] via one-hot: dynamic lane index)
+    lane2 = _lane_iota((B, L + 1))
+    q2c1 = jnp.sum(jnp.where(lane2 == c + 1, q2[...], 0.0), axis=1,
+                   keepdims=True)
+    obcol = q1pad[...] * col(fe) * q2c1
+    obcol = obcol + col(fmb) * sm1
+
+    # generic interior (mirror): minn * sum shift_down(OM-window, u1+1)
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(1, MAXLOOP + 1 - u1):    # u2 = b
+            t = OMb[b] * _at(w2k, u1, b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + _ldn(acc, u1 + 1)
+    obcol = obcol + gen * col(minn)
+
+    # bulges (mirror)
+    oa1 = OAb[0]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * _ldn(oa1, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(2, W):                       # m = b
+        b3 = b3 + OAb[b] * bulge_k[:, b:b + 1]
+    obcol = obcol + col(taur) * (b5 + _ldn(b3, 1))
+
+    # small-loop specials (outer at (i - di, c + dj)); columns c+dj arrive
+    # clamped to L-1, so zero them out of range
+    for ref, di, dj in ((pstk1, 1, 1), (p111, 2, 2), (p21a1, 2, 3),
+                        (p21b1, 3, 2), (p221, 3, 3), (pb151, 2, 1),
+                        (pb131, 1, 2)):
+        pc = jnp.where(c + dj < L, col(ref), 0.0)
+        obcol = obcol + _ldn(pc * Ob[dj - 1], di)
+    obcol = _clamp(obcol)
+
+    # --- scatters feeding later (smaller-c) steps ---
+    a = obcol * col(fmc) * sg * sg
+    ash = _ldn(a, 1)
+    qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
+    w1 = _lup(qm1_cm1, 1)                       # om += outer(ash, w1)
+    w2_ = _lup(col(qm1c), 1)                    # om += outer(omcol, w2_)
+    for m in range(L):
+        omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
+
+    # pend for column c-1: shift_down(qm.T @ ash, 1)
+    qmt2 = jnp.zeros((B, L), F32)
+    for i in range(L):
+        qmt2 = qmt2 + qmT[i] * ash[:, i:i + 1]
+    pendS[...] = _ldn(qmt2, 1)
+
+    # commit windows + output
+    Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
+    OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
+    OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
+    ob_o[0] = obcol
+
+
+def outside_pallas(factors_cbl, qm_cbl, qm1_cbl, q1pad, q2, w2k, bulge_k,
+                   sig, pows, L: int, B: int, b_blk: int = 8,
+                   interpret: bool = False):
+    """Batched outside pass -> ob in (L_cols, B, L_i) layout."""
+    nb = B // b_blk
+    ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
+
+    def ahead(dj):
+        return pl.BlockSpec(
+            (1, b_blk, L),
+            lambda b, j: (jnp.minimum(L - 1 - j + dj, L - 1), b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    # row-major qm for the in-kernel row contractions: qmT[i][b, l] = qm[i, l]
+    qmT = jnp.transpose(qm_cbl, (2, 1, 0))      # (L_i, B, L_cols)
+    qmT_spec = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
+
+    f = dict(zip(FACTOR_FIELDS, factors_cbl))
+    ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
+           f["tau"], f["pstk"], f["p11"], f["p21a"], f["p21b"], f["p22"],
+           f["pb15"], f["pb13"], qm1_cbl, qm1_cbl, qmT, q1pad, q2,
+           w2k, bulge_k, sig, pows]
+    in_specs = ([ccol] * 7
+                + [ahead(dj) for dj in (1, 2, 3, 2, 3, 1, 2)]
+                + [ccol,
+                   pl.BlockSpec((1, b_blk, L),
+                                lambda b, j: (jnp.maximum(L - 2 - j, 0), b, 0)),
+                   qmT_spec, fall((b_blk, L)), fall((b_blk, L + 1)),
+                   fall((b_blk, W, W)), fall((b_blk, W)), fall((b_blk, 1)),
+                   fall((b_blk, POW2))])
+
+    return pl.pallas_call(
+        functools.partial(_outside_kernel, L=L, B=b_blk),
+        grid=(nb, L),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, B, L), F32),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # omS
+            pltpu.VMEM((W, b_blk, L), F32),     # Ob
+            pltpu.VMEM((W, b_blk, L), F32),     # OMb
+            pltpu.VMEM((W, b_blk, L), F32),     # OAb
+            pltpu.VMEM((b_blk, L), F32),        # pendS
+            pltpu.VMEM((b_blk, L), F32),        # sm1S
+        ],
+        interpret=interpret,
+    )(*ins)
+
+
+# --------------------------------------------------------------------------
+# batched wrapper: factors + adaptive scaling + inside/outside/q2
+# --------------------------------------------------------------------------
+
+def _sig_tables(bt: BoltzTables, sig, dtype=F32):
+    """Per-instance w2/bulge kernels + smlb powers ([B, ...])."""
+    sig = jnp.asarray(sig, dtype)
+    smlb = sig * jnp.asarray(bt.ml_base, dtype)
+    e2 = jnp.asarray(np.add.outer(np.arange(W), np.arange(W)) + 2, dtype)
+    w2k = jnp.asarray(bt.w2_raw, dtype)[None] * sig[:, None, None] ** e2[None]
+    em = jnp.asarray(np.arange(MAXLOOP + 1) + 2, dtype)
+    bulge_k = jnp.asarray(bt.bulge_raw, dtype)[None] * sig[:, None] ** em[None]
+    pows = smlb[:, None] ** jnp.asarray(2.0 ** np.arange(POW2), dtype)[None]
+    return w2k, bulge_k, pows
+
+
+def _batch_factors(bt: BoltzTables, S, n, sig, allow=None) -> FoldFactors:
+    fn = lambda s, m, sg, al: fold_factors(bt, s, m, F32, sg, al)
+    if allow is None:
+        return jax.vmap(lambda s, m, sg: fn(s, m, sg, None))(S, n, sig)
+    return jax.vmap(fn)(S, n, sig, allow)
+
+
+def _pad_batch(x, B_pad):
+    if x.shape[0] == B_pad:
+        return x
+    pad = [(0, B_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
+                 interpret: bool = False, allow=None):
+    """One batched inside pass at per-instance scale energies es [B].
+
+    Returns (InsideState of [B, ...] arrays, FoldFactors [B, L, L], sig [B]).
+    """
+    bt = params_or_bt if isinstance(params_or_bt, BoltzTables) \
+        else get_boltz(params_or_bt)
+    B, L = S.shape
+    sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
+    ff = _batch_factors(bt, S, n, sig, allow)
+    w2k, bulge_k, pows = _sig_tables(bt, sig)
+    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in FACTOR_FIELDS)
+    qb_c, qm_c, qm1_c, qm2_c, q1 = inside_pallas(
+        fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
+    qb, qm, qm1, qm2 = map(_from_cbl, (qb_c, qm_c, qm1_c, qm2_c))
+    # last qm2 column (segment ending at L-1), as in ops.mccaskill.inside
+    lastcol = jnp.einsum("bil,bl->bi", qm,
+                         jnp.concatenate([qm1[:, 1:, L - 1],
+                                          jnp.zeros((B, 1), F32)], axis=1))
+    qm2 = qm2.at[:, :, L - 1].set(lastcol)
+    zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0),
+                             axis=1)[:, 0]
+    qbe = qb * ff.fe
+    q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
+                   b_blk, interpret)
+    hi = F32(0.99 * HUGE)
+    sat = (jnp.max(qb.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(qm.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(q1, axis=1) >= hi) | ~jnp.isfinite(zn)
+    ins = InsideState(qb=qb, qm=qm, qm1=qm1, qm2=qm2, q1=q1, q2=q2, zn=zn,
+                      sat=sat)
+    return ins, ff, sig
+
+
+def batch_fold(params, S, n, b_blk: int = 8, max_iter: int = 8,
+               interpret: bool = False, allow=None, es0: float = SCALE_E0):
+    """Batched inside+outside with per-instance adaptive pf scaling.
+
+    S [B, L] int32 encodings, n [B] lengths.  Returns a dict with the batched
+    InsideState, FoldFactors, ob, bpp [B, L, L], sigma [B], es [B].  B is
+    padded to a multiple of b_blk internally.
+    """
+    bt = get_boltz(params)
+    B0 = S.shape[0]
+    B = -(-B0 // b_blk) * b_blk
+    S = _pad_batch(jnp.asarray(S, jnp.int32), B)
+    n = jnp.maximum(_pad_batch(jnp.asarray(n, jnp.int32), B), 1)
+    if allow is not None:
+        allow = _pad_batch(jnp.asarray(allow, bool), B)
+    kt = F32(bt.kt)
+    nf = jnp.maximum(n.astype(F32), 1.0)
+
+    es = jnp.full((B,), es0, F32)
+    ins, ff, sig = batch_inside(bt, S, n, es, b_blk, interpret, allow)
+
+    def good(ins):
+        return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
+            & jnp.isfinite(ins.zn)
+
+    def cond(c):
+        es, ins, it = c
+        return (it < max_iter) & jnp.any(~good(ins))
+
+    def body(c):
+        es, ins, it = c
+        step = kt * 60.0 / nf
+        bad_hi = ins.sat | ~jnp.isfinite(ins.zn) | (ins.zn >= ZHI)
+        es2 = jnp.where(bad_hi, es + step,
+                        jnp.where(ins.zn > 0,
+                                  es + kt * jnp.log(ins.zn) / nf, es - step))
+        es2 = jnp.where(good(ins), es, es2)
+        ins2, _, _ = batch_inside(bt, S, n, es2, b_blk, interpret, allow)
+        return (es2, ins2, it + 1)
+
+    es, ins, _ = jax.lax.while_loop(cond, body, (es, ins, jnp.int32(0)))
+    sig = jnp.exp(-es / kt)
+    ff = _batch_factors(bt, S, n, sig, allow)
+    w2k, bulge_k, pows = _sig_tables(bt, sig)
+    L = S.shape[1]
+    q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
+    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in FACTOR_FIELDS)
+    ob_c = outside_pallas(fcbl, _to_cbl(ins.qm), _to_cbl(ins.qm1), q1pad,
+                          ins.q2, w2k, bulge_k, sig[:, None], pows, L, B,
+                          b_blk, interpret)
+    ob = _from_cbl(ob_c)
+    zn = ins.zn
+    bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
+                    0.0)
+    sl = lambda t: t[:B0]
+    return dict(
+        ins=jax.tree_util.tree_map(sl, ins), ff=jax.tree_util.tree_map(sl, ff),
+        ob=sl(ob), bpp=sl(bpp), sig=sl(sig), es=sl(es))

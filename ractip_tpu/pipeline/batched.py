@@ -226,9 +226,17 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
     if ckpt_dir is not None:
         from ..utils.checkpoint import SweepCheckpoint
         import hashlib
-        fp = hashlib.sha256(
-            repr((list(pairs), cfg, chunk, iters, buckets,
-                  want_energy)).encode()).hexdigest()[:16]
+        h = hashlib.sha256(
+            repr((list(pairs), cfg, chunk, iters, buckets, want_energy,
+                  opts.use_pf_duplex, opts.use_contrafold)).encode())
+        # energy tables shape the results too: a -P override (or BL* vs
+        # Turner) must invalidate stored chunks, not silently resume them
+        for f in dataclasses.fields(params):
+            v = getattr(params, f.name)
+            h.update(f.name.encode())
+            h.update(v.tobytes() if isinstance(v, np.ndarray)
+                     else repr(v).encode())
+        fp = h.hexdigest()[:16]
         store = SweepCheckpoint(ckpt_dir, fp)
         chunks = store.map_chunks(len(starts), run)
     else:

@@ -113,11 +113,13 @@ class Posteriors:
             self.hp = np.asarray(cofold_hybrid_probs(
                 params, S1, S2, n1, n2, dtype, allow=alc))
         if need_acc:
+            # reference parity: pf_unstru runs UNCONSTRAINED -- it is called
+            # after fold_constrained is restored and takes no constraint
+            # string (reference src/ractip.cpp:369-375), so -c must not
+            # shape the accessibility posteriors.
             w = max(1, max_w)
-            self.pu1 = np.asarray(accessibility(params, S1, n1, w, dtype,
-                                                allow=al1))
-            self.pu2 = np.asarray(accessibility(params, S2, n2, w, dtype,
-                                                allow=al2))
+            self.pu1 = np.asarray(accessibility(params, S1, n1, w, dtype))
+            self.pu2 = np.asarray(accessibility(params, S2, n2, w, dtype))
         else:
             self.pu1 = self.pu2 = None
 

@@ -51,6 +51,10 @@ def pytest_runtestloop(session):
     if os.environ.get("_RACTIP_TPU_SUITE_CHILD") \
             or os.environ.get("RACTIP_TPU_NO_SHARD"):
         return None
+    if getattr(session.config.option, "collectonly", False):
+        return None
+    if any("::" in a for a in session.config.args):
+        return None  # node-id-filtered run: don't expand to whole files
     files: list[str] = []
     for item in session.items:
         f = str(item.fspath)
@@ -60,7 +64,8 @@ def pytest_runtestloop(session):
         return None
 
     import subprocess
-    xfirst = bool(session.config.getoption("exitfirst", default=False))
+    # pytest's -x stores into dest "maxfail" (value 1), not "exitfirst"
+    xfirst = session.config.getoption("maxfail", default=0) == 1
     env = {**os.environ, "_RACTIP_TPU_SUITE_CHILD": "1"}
     failed = []
     for f in files:

@@ -61,6 +61,22 @@ def test_allow_matrix_semantics():
     assert not a[0, 2] and not a[1, 2] and a[2, 3] and a[2, 4]
 
 
+def test_matched_pair_crossing_exclusion():
+    # Vienna semantics (make_ptypes / 2.x hard constraints): a forced pair
+    # (i, j) bans EVERY pair crossing the span -- (k,l) with k<i<=l<=j or
+    # i<=k<=j<l -- even in structures that do not realize (i, j) itself.
+    # These assertions encode the interval rule directly, independent of the
+    # enumeration oracle's mask.
+    a = C.allow_from_db("..(.....)...", 12)   # forced pair (2, 8)
+    assert a[2, 8] and a[8, 2]
+    # k < i <= l <= j: crossing from outside into the span
+    assert not a[0, 5] and not a[1, 8] and not a[0, 2]
+    # i <= k <= j < l: crossing from the span outward
+    assert not a[3, 10] and not a[5, 11] and not a[8, 9]
+    # nested, enclosing, and disjoint pairs remain allowed
+    assert a[3, 7] and a[1, 9] and a[10, 11]
+
+
 def _fold_bpp(seq, cstr, L=24):
     p = get_default_params()
     S = encode(seq, L)

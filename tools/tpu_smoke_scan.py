@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""TPU smoke + timing for the Pallas scan kernels at bench shape."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ractip_tpu.ops import mccaskill as mc
+from ractip_tpu.ops import scan_pallas as sp
+from ractip_tpu.ops.seq import encode
+from ractip_tpu.params.tables import get_default_params
+
+params = get_default_params()
+rng = np.random.default_rng(0)
+
+
+def run(B, L, b_blk, label):
+    seqs = ["".join(rng.choice(list("ACGU"), L - 10)) for _ in range(B)]
+    S = jnp.asarray(np.stack([encode(s, L) for s in seqs]))
+    n = jnp.asarray(np.full(B, L - 10, np.int32))
+
+    fn = jax.jit(lambda S, n: sp.batch_fold(params, S, n, b_blk=b_blk)["bpp"])
+    t0 = time.perf_counter()
+    out = fn(S, n)
+    np.asarray(out)
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn(S, n)
+    np.asarray(out)
+    tr = time.perf_counter() - t0
+    # GCUPS: n^3/2 cell updates per instance for the O(n^3) contraction
+    cells = B * (L - 10) ** 3 / 2
+    print(f"{label}: compile+run {tc:.1f}s steady {tr*1e3:.1f} ms "
+          f"({cells / tr / 1e9:.2f} GCUPS)", flush=True)
+    return out
+
+
+# correctness vs jnp on TPU at small shape
+B, L = 8, 32
+seqs = ["".join(rng.choice(list("ACGU"), 24)) for _ in range(B)]
+S = jnp.asarray(np.stack([encode(s, L) for s in seqs]))
+n = jnp.asarray(np.full(B, 24, np.int32))
+res = jax.jit(lambda S, n: sp.batch_fold(params, S, n, b_blk=8))(S, n)
+bpp_k = np.asarray(res["bpp"])
+es = np.asarray(res["es"])
+
+
+def one_ref(s, m, e):
+    from ractip_tpu.params.boltz import get_boltz
+    bt = get_boltz(params)
+    sig = jnp.exp(-e / jnp.float32(bt.kt))
+    ff = mc.fold_factors(bt, s, m, jnp.float32, sig)
+    ins = mc.inside(ff, bt, m, jnp.float32, sig)
+    out = mc.outside(ff, bt, ins, m, jnp.float32, sig)
+    return out.bpp
+
+bpp_r = np.asarray(jax.jit(jax.vmap(one_ref))(S, n, jnp.asarray(es)))
+err = np.max(np.abs(bpp_k - bpp_r))
+print(f"TPU correctness: max |bpp_kernel - bpp_jnp| = {err:.2e}", flush=True)
+assert err < 1e-4, err
+
+run(128, 96, 8, "B=128 L=96 b8")
+run(128, 96, 16, "B=128 L=96 b16")
