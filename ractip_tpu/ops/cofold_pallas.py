@@ -32,11 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAXLOOP
 from ..params.boltz import BoltzTables, get_boltz
-from .cofold import CoFactors, CoInsideState, co_factors
+from .cofold import CoFactors, CoInsideState
 from .mccaskill import HUGE, SCALE_E0, ZHI, ZLO, W
-from .scan_pallas import (F32, POW2, _at, _clamp, _from_cbl, _lane_iota,
+from .scan_pallas import (F32, POW2, _at, _clamp, _lane_iota, _lane_write,
                           _ldn, _lup, _pad_batch, _prefix_scan, _sig_tables,
-                          _suffix_scan, _to_cbl, q2_pallas)
+                          _suffix_scan, q2_pallas)
 
 CO_FIELDS = CoFactors._fields                   # 16 names (15 + fcx)
 
@@ -60,7 +60,8 @@ def _co_inside_kernel(
         fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
         fmb, fmc, fe, fcx,                      # factor column refs (1, B, L)
         w2k, bulge_k, sig, pows, cut,           # per-instance inputs
-        qb_o, qm_o, qm1_o, qx_o, q1_o,          # outputs
+        qm1c_o,                                 # cbl column stream
+        qb_o, qm_o, qm1_o, qx_o, qmT_o, q1_o,   # natural / transposed outs
         qmS, qxS, Qb, Mb, Ab, qm1P, qxP, qxA, q1S, M5S, J1S,   # scratch
         *, L: int, B: int):
     j = pl.program_id(1)
@@ -182,10 +183,12 @@ def _co_inside_kernel(
     qm1P[...] = qm1col
     qxP[...] = qxcol
 
-    qb_o[0] = qbcol
-    qm_o[0] = qmcol
-    qm1_o[0] = qm1col
-    qx_o[0] = qxcol
+    qm1c_o[0] = qm1col
+    _lane_write(qb_o, j, qbcol)
+    _lane_write(qm_o, j, qmcol)
+    _lane_write(qm1_o, j, qm1col)
+    _lane_write(qx_o, j, qxcol)
+    _lane_write(qmT_o, j, jnp.transpose(qmcol))
     q1_o[...] = q1S[...]
 
 
@@ -204,16 +207,20 @@ def co_inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, cut, L: int,
         return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
 
     out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-    mat = jax.ShapeDtypeStruct((L, B, L), F32)
+    nat = pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0))
+    tT = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
+    cmat = jax.ShapeDtypeStruct((L, B, L), F32)
+    nmat = jax.ShapeDtypeStruct((B, L, L), F32)
     return pl.pallas_call(
         functools.partial(_co_inside_kernel, L=L, B=b_blk),
         grid=(nb, L),
         in_specs=[fcol] * 16 + [fall((b_blk, W, W)), fall((b_blk, W)),
                                 fall((b_blk, 1)), fall((b_blk, POW2)),
                                 fall((b_blk, 1))],
-        out_specs=(out_col, out_col, out_col, out_col,
+        out_specs=(out_col, nat, nat, nat, nat, tT,
                    pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))),
-        out_shape=(mat, mat, mat, mat, jax.ShapeDtypeStruct((B, L), F32)),
+        out_shape=(cmat, nmat, nmat, nmat, nmat, cmat,
+                   jax.ShapeDtypeStruct((B, L), F32)),
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, L), F32),     # qmS
             pltpu.VMEM((L, b_blk, L), F32),     # qxS
@@ -384,13 +391,14 @@ def _co_outside_kernel(
     Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
     OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
     OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
-    ob_o[0] = obcol
+    _lane_write(ob_o, c, obcol)
 
 
-def co_outside_pallas(factors_cbl, qm_cbl, qm1_cbl, qx, q1pad, q2, w2k,
+def co_outside_pallas(factors_cbl, qmT, qm1_cbl, qx, q1pad, q2, w2k,
                       bulge_k, sig, pows, cut, L: int, B: int,
                       b_blk: int = 8, interpret: bool = False):
-    """qx arrives in natural [B, L, L] layout (row reads in-kernel)."""
+    """qx arrives in natural [B, L, L] layout (row reads in-kernel); qmT in
+    (L_i, B, L_cols) as emitted by co_inside_pallas.  Returns ob natural."""
     nb = B // b_blk
     ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
 
@@ -402,7 +410,6 @@ def co_outside_pallas(factors_cbl, qm_cbl, qm1_cbl, qx, q1pad, q2, w2k,
     def fall(shape):
         return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
 
-    qmT = jnp.transpose(qm_cbl, (2, 1, 0))
     f = dict(zip(CO_FIELDS, factors_cbl))
     ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
            f["tau"], f["fcx"], f["pstk"], f["p11"], f["p21a"], f["p21b"],
@@ -423,8 +430,8 @@ def co_outside_pallas(factors_cbl, qm_cbl, qm1_cbl, qx, q1pad, q2, w2k,
         functools.partial(_co_outside_kernel, L=L, B=b_blk),
         grid=(nb, L),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((L, B, L), F32),
+        out_specs=pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, L), F32),
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, L), F32),     # omS
             pltpu.VMEM((W, b_blk, L), F32),     # Ob
@@ -463,26 +470,30 @@ def _pack_concat(S1, S2, n1):
     return jax.vmap(one)(S1, S2, n1)
 
 
-def _co_batch_factors(bt, S, n, cut, sig, allow=None) -> CoFactors:
-    fn = lambda s, m, c, sg, al: co_factors(bt, s, m, c, F32, sg, al)
+def _co_batch_factors(bt, S, n, cut, sig, allow=None,
+                      transposed: bool = False) -> CoFactors:
+    from .factors_mm import co_factors_mm
+    oax = 1 if transposed else 0
+    fn = lambda s, m, c, sg, al: co_factors_mm(bt, s, m, c, sg, al,
+                                               transposed)
     if allow is None:
-        return jax.vmap(lambda s, m, c, sg: fn(s, m, c, sg, None))(
-            S, n, cut, sig)
-    return jax.vmap(fn)(S, n, cut, sig, allow)
+        return jax.vmap(lambda s, m, c, sg: fn(s, m, c, sg, None),
+                        out_axes=oax)(S, n, cut, sig)
+    return jax.vmap(fn, out_axes=oax)(S, n, cut, sig, allow)
 
 
 def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
     B, L = S.shape
     sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
-    ff = _co_batch_factors(bt, S, n, cut, sig, allow)
+    ffn = _co_batch_factors(bt, S, n, cut, sig, allow)
+    ffc = _co_batch_factors(bt, S, n, cut, sig, allow, transposed=True)
     w2k, bulge_k, pows = _sig_tables(bt, sig)
-    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in CO_FIELDS)
+    fcbl = tuple(getattr(ffc, f) for f in CO_FIELDS)
     cut2 = cut[:, None].astype(jnp.int32)
-    qb_c, qm_c, qm1_c, qx_c, q1 = co_inside_pallas(
+    qm1_c, qb, qm, qm1, qx, qmT, q1 = co_inside_pallas(
         fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk, interpret)
-    qb, qm, qm1, qx = map(_from_cbl, (qb_c, qm_c, qm1_c, qx_c))
     zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0), axis=1)[:, 0]
-    qbe = qb * ff.fe
+    qbe = qb * ffn.fe
     q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
                    b_blk, interpret)
     hi = F32(0.99 * HUGE)
@@ -492,7 +503,9 @@ def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
         | (jnp.max(q1, axis=1) >= hi) | ~jnp.isfinite(zn)
     ins = CoInsideState(qb=qb, qm=qm, qm1=qm1, qx=qx, q1=q1, q2=q2, zn=zn,
                         sat=sat)
-    return ins, ff, sig, (qm_c, qm1_c)
+    aux = dict(ffc=ffc, qm1_c=qm1_c, qmT=qmT, w2k=w2k, bulge_k=bulge_k,
+               pows=pows)
+    return ins, ffn, sig, aux
 
 
 def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
@@ -518,40 +531,39 @@ def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
     nf = jnp.maximum(n.astype(F32), 1.0)
 
     es = jnp.full((B,), es0, F32)
-    ins, ff, sig, aux = _co_inside_once(bt, S, n, cut, es, b_blk, interpret,
-                                        allow)
+    ins, ffn, sig, aux = _co_inside_once(bt, S, n, cut, es, b_blk, interpret,
+                                         allow)
 
     def good(ins):
         return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
             & jnp.isfinite(ins.zn)
 
     def cond(c):
-        es, ins, it = c
+        es, ins, aux, it = c
         return (it < max_iter) & jnp.any(~good(ins))
 
     def body(c):
-        es, ins, it = c
+        es, ins, aux, it = c
         step = kt * 60.0 / nf
         bad_hi = ins.sat | ~jnp.isfinite(ins.zn) | (ins.zn >= ZHI)
         es2 = jnp.where(bad_hi, es + step,
                         jnp.where(ins.zn > 0,
                                   es + kt * jnp.log(ins.zn) / nf, es - step))
         es2 = jnp.where(good(ins), es, es2)
-        ins2, _, _, _ = _co_inside_once(bt, S, n, cut, es2, b_blk, interpret,
-                                        allow)
-        return (es2, ins2, it + 1)
+        ins2, _, _, aux2 = _co_inside_once(bt, S, n, cut, es2, b_blk,
+                                           interpret, allow)
+        return (es2, ins2, aux2, it + 1)
 
-    es, ins, _ = jax.lax.while_loop(cond, body, (es, ins, jnp.int32(0)))
+    es, ins, aux, _ = jax.lax.while_loop(cond, body,
+                                         (es, ins, aux, jnp.int32(0)))
     sig = jnp.exp(-es / kt)
-    ff = _co_batch_factors(bt, S, n, cut, sig, allow)
-    w2k, bulge_k, pows = _sig_tables(bt, sig)
-    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in CO_FIELDS)
+    fcbl = tuple(getattr(aux["ffc"], f) for f in CO_FIELDS)
     q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
     cut2 = cut[:, None].astype(jnp.int32)
-    ob_c = co_outside_pallas(fcbl, _to_cbl(ins.qm), _to_cbl(ins.qm1), ins.qx,
-                             q1pad, ins.q2, w2k, bulge_k, sig[:, None], pows,
-                             cut2, L, B, b_blk, interpret)
-    ob = _from_cbl(ob_c)
+    ob = co_outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], ins.qx,
+                           q1pad, ins.q2, aux["w2k"], aux["bulge_k"],
+                           sig[:, None], aux["pows"], cut2, L, B, b_blk,
+                           interpret)
     zn = ins.zn
     bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
                     0.0)

@@ -272,7 +272,8 @@ def duplex(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
     """use_pallas=None auto-selects the Pallas TPU sweep on TPU backends and
     the pure-jnp sweep elsewhere; both compute identical math."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # the tunneled TPU registers its backend as "axon"
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     bt = get_boltz(params)
     ffw = duplex_factors_fw(bt, S1, S2, n1, n2, dtype)
     fbk = duplex_factors_bk(bt, S1, S2, n1, n2, dtype)

@@ -40,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAXLOOP
 from ..params.boltz import BoltzTables, get_boltz
-from .mccaskill import (HUGE, SCALE_E0, W, ZHI, ZLO, FoldFactors, InsideState,
-                        fold_factors)
+from .mccaskill import (HUGE, SCALE_E0, W, ZHI, ZLO, FoldFactors, InsideState)
 
 FACTOR_FIELDS = FoldFactors._fields           # 15 names, fixed order
 POW2 = 11                                     # doubling steps; covers L<=2048
@@ -112,6 +111,17 @@ def _from_cbl(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(m, (1, 2, 0))
 
 
+def _lane_write(ref, j, val):
+    """Blend-write val (one lane-column) at lane j of a resident out block.
+
+    Used for dual-layout outputs: the natural-layout [.., .., L_cols] output
+    block has a constant block index, stays VMEM-resident across the column
+    grid, and receives column j via a one-hot lane blend (Mosaic-safe
+    alternative to a dynamic minor-dim store)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, ref.shape, len(ref.shape) - 1)
+    ref[...] = jnp.where(lane == j, val[..., None], ref[...])
+
+
 # --------------------------------------------------------------------------
 # inside kernel
 # --------------------------------------------------------------------------
@@ -120,7 +130,8 @@ def _inside_kernel(
         fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
         fmb, fmc, fe,                           # factor column refs (1, B, L)
         w2k, bulge_k, sig, pows,                # (B,W,W), (B,W), (B,1), (B,P)
-        qb_o, qm_o, qm1_o, qm2_o, q1_o,         # outputs
+        qm1c_o,                                 # cbl column stream (outside in)
+        qb_o, qm_o, qm1_o, qm2_o, qmT_o, q1_o,  # natural / transposed outs
         qmS, Qb, Mb, Ab, qm1P, q1S,             # scratch
         *, L: int, B: int):
     j = pl.program_id(1)
@@ -208,10 +219,12 @@ def _inside_kernel(
     Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
     qm1P[...] = qm1col
 
-    qb_o[0] = qbcol
-    qm_o[0] = qmcol
-    qm1_o[0] = qm1col
-    qm2_o[0] = qm2col
+    qm1c_o[0] = qm1col
+    _lane_write(qb_o, j, qbcol)
+    _lane_write(qm_o, j, qmcol)
+    _lane_write(qm1_o, j, qm1col)
+    _lane_write(qm2_o, jnp.maximum(j - 1, 0), qm2col)
+    _lane_write(qmT_o, j, jnp.transpose(qmcol))
     q1_o[...] = q1S[...]          # constant-index block: final step wins
 
 
@@ -220,8 +233,10 @@ def inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, L: int, B: int,
     """Batched inside pass.
 
     factors_cbl: 15 arrays in (L_cols, B, L_i) layout.  Returns
-    (qb, qm, qm1, qm2) in the same layout + q1 [B, L]; qm2's last column is
-    left for the caller (as in ops.mccaskill.inside).
+    (qm1_cbl, qb, qm, qm1, qm2, qmT, q1) -- qb/qm/qm1/qm2 in NATURAL
+    [B, L_i, L_cols] layout (lane-blend dual emission), qmT in (L_i, B,
+    L_cols) for the outside kernel's row contractions, q1 [B, L].  qm2's
+    last column is left for the caller (as in ops.mccaskill.inside).
     """
     nb = B // b_blk
     fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
@@ -230,19 +245,21 @@ def inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, L: int, B: int,
         return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
 
     out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-    qm2_col = pl.BlockSpec((1, b_blk, L),
-                           lambda b, j: (jnp.maximum(j - 1, 0), b, 0))
+    nat = pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0))
+    tT = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
     q1_full = pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))
 
     kernel = functools.partial(_inside_kernel, L=L, B=b_blk)
-    mat = jax.ShapeDtypeStruct((L, B, L), F32)
+    cmat = jax.ShapeDtypeStruct((L, B, L), F32)
+    nmat = jax.ShapeDtypeStruct((B, L, L), F32)
     return pl.pallas_call(
         kernel,
         grid=(nb, L),
         in_specs=[fcol] * 15 + [fall((b_blk, W, W)), fall((b_blk, W)),
                                 fall((b_blk, 1)), fall((b_blk, POW2))],
-        out_specs=(out_col, out_col, out_col, qm2_col, q1_full),
-        out_shape=(mat, mat, mat, mat, jax.ShapeDtypeStruct((B, L), F32)),
+        out_specs=(out_col, nat, nat, nat, nat, tT, q1_full),
+        out_shape=(cmat, nmat, nmat, nmat, nmat, cmat,
+                   jax.ShapeDtypeStruct((B, L), F32)),
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, L), F32),     # qmS
             pltpu.VMEM((W, b_blk, L), F32),     # Qb
@@ -388,13 +405,15 @@ def _outside_kernel(
     Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
     OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
     OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
-    ob_o[0] = obcol
+    _lane_write(ob_o, c, obcol)
 
 
-def outside_pallas(factors_cbl, qm_cbl, qm1_cbl, q1pad, q2, w2k, bulge_k,
+def outside_pallas(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k, bulge_k,
                    sig, pows, L: int, B: int, b_blk: int = 8,
                    interpret: bool = False):
-    """Batched outside pass -> ob in (L_cols, B, L_i) layout."""
+    """Batched outside pass -> ob in NATURAL [B, L_i, L_cols] layout.
+
+    qmT: (L_i, B, L_cols) row-major qm (as emitted by inside_pallas)."""
     nb = B // b_blk
     ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
 
@@ -406,8 +425,6 @@ def outside_pallas(factors_cbl, qm_cbl, qm1_cbl, q1pad, q2, w2k, bulge_k,
     def fall(shape):
         return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
 
-    # row-major qm for the in-kernel row contractions: qmT[i][b, l] = qm[i, l]
-    qmT = jnp.transpose(qm_cbl, (2, 1, 0))      # (L_i, B, L_cols)
     qmT_spec = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
 
     f = dict(zip(FACTOR_FIELDS, factors_cbl))
@@ -428,8 +445,8 @@ def outside_pallas(factors_cbl, qm_cbl, qm1_cbl, q1pad, q2, w2k, bulge_k,
         functools.partial(_outside_kernel, L=L, B=b_blk),
         grid=(nb, L),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((L, B, L), F32),
+        out_specs=pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, L), F32),
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, L), F32),     # omS
             pltpu.VMEM((W, b_blk, L), F32),     # Ob
@@ -458,11 +475,19 @@ def _sig_tables(bt: BoltzTables, sig, dtype=F32):
     return w2k, bulge_k, pows
 
 
-def _batch_factors(bt: BoltzTables, S, n, sig, allow=None) -> FoldFactors:
-    fn = lambda s, m, sg, al: fold_factors(bt, s, m, F32, sg, al)
+def _batch_factors(bt: BoltzTables, S, n, sig, allow=None,
+                   transposed: bool = False) -> FoldFactors:
+    """Batched factor matrices via bilinear matmuls (ops.factors_mm).
+
+    transposed=True emits each factor in (L_cols, B, L_i) layout (out_axes=1)
+    -- the streaming layout of the Pallas kernels, with no XLA transposes."""
+    from .factors_mm import fold_factors_mm
+    oax = 1 if transposed else 0
+    fn = lambda s, m, sg, al: fold_factors_mm(bt, s, m, sg, al, transposed)
     if allow is None:
-        return jax.vmap(lambda s, m, sg: fn(s, m, sg, None))(S, n, sig)
-    return jax.vmap(fn)(S, n, sig, allow)
+        return jax.vmap(lambda s, m, sg: fn(s, m, sg, None),
+                        out_axes=oax)(S, n, sig)
+    return jax.vmap(fn, out_axes=oax)(S, n, sig, allow)
 
 
 def _pad_batch(x, B_pad):
@@ -476,26 +501,24 @@ def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
                  interpret: bool = False, allow=None):
     """One batched inside pass at per-instance scale energies es [B].
 
-    Returns (InsideState of [B, ...] arrays, FoldFactors [B, L, L], sig [B]).
-    """
+    Returns (InsideState of natural [B, ...] arrays, aux dict with the
+    kernel-layout tensors the outside pass consumes, sig [B])."""
     bt = params_or_bt if isinstance(params_or_bt, BoltzTables) \
         else get_boltz(params_or_bt)
     B, L = S.shape
     sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
-    ff = _batch_factors(bt, S, n, sig, allow)
+    ffn = _batch_factors(bt, S, n, sig, allow)
+    ffc = _batch_factors(bt, S, n, sig, allow, transposed=True)
     w2k, bulge_k, pows = _sig_tables(bt, sig)
-    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in FACTOR_FIELDS)
-    qb_c, qm_c, qm1_c, qm2_c, q1 = inside_pallas(
+    fcbl = tuple(getattr(ffc, f) for f in FACTOR_FIELDS)
+    qm1_c, qb, qm, qm1, qm2, qmT, q1 = inside_pallas(
         fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
-    qb, qm, qm1, qm2 = map(_from_cbl, (qb_c, qm_c, qm1_c, qm2_c))
     # last qm2 column (segment ending at L-1), as in ops.mccaskill.inside
-    lastcol = jnp.einsum("bil,bl->bi", qm,
-                         jnp.concatenate([qm1[:, 1:, L - 1],
-                                          jnp.zeros((B, 1), F32)], axis=1))
-    qm2 = qm2.at[:, :, L - 1].set(lastcol)
+    v = jnp.concatenate([qm1[:, 1:, L - 1], jnp.zeros((B, 1), F32)], axis=1)
+    qm2 = qm2.at[:, :, L - 1].set(jnp.einsum("ibl,bl->bi", qmT, v))
     zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0),
                              axis=1)[:, 0]
-    qbe = qb * ff.fe
+    qbe = qb * ffn.fe
     q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
                    b_blk, interpret)
     hi = F32(0.99 * HUGE)
@@ -504,7 +527,9 @@ def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
         | (jnp.max(q1, axis=1) >= hi) | ~jnp.isfinite(zn)
     ins = InsideState(qb=qb, qm=qm, qm1=qm1, qm2=qm2, q1=q1, q2=q2, zn=zn,
                       sat=sat)
-    return ins, ff, sig
+    aux = dict(ffn=ffn, ffc=ffc, qm1_c=qm1_c, qmT=qmT, w2k=w2k,
+               bulge_k=bulge_k, pows=pows)
+    return ins, aux, sig
 
 
 def batch_fold(params, S, n, b_blk: int = 8, max_iter: int = 8,
@@ -526,42 +551,41 @@ def batch_fold(params, S, n, b_blk: int = 8, max_iter: int = 8,
     nf = jnp.maximum(n.astype(F32), 1.0)
 
     es = jnp.full((B,), es0, F32)
-    ins, ff, sig = batch_inside(bt, S, n, es, b_blk, interpret, allow)
+    ins, aux, sig = batch_inside(bt, S, n, es, b_blk, interpret, allow)
 
     def good(ins):
         return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
             & jnp.isfinite(ins.zn)
 
     def cond(c):
-        es, ins, it = c
+        es, ins, aux, it = c
         return (it < max_iter) & jnp.any(~good(ins))
 
     def body(c):
-        es, ins, it = c
+        es, ins, aux, it = c
         step = kt * 60.0 / nf
         bad_hi = ins.sat | ~jnp.isfinite(ins.zn) | (ins.zn >= ZHI)
         es2 = jnp.where(bad_hi, es + step,
                         jnp.where(ins.zn > 0,
                                   es + kt * jnp.log(ins.zn) / nf, es - step))
         es2 = jnp.where(good(ins), es, es2)
-        ins2, _, _ = batch_inside(bt, S, n, es2, b_blk, interpret, allow)
-        return (es2, ins2, it + 1)
+        ins2, aux2, _ = batch_inside(bt, S, n, es2, b_blk, interpret, allow)
+        return (es2, ins2, aux2, it + 1)
 
-    es, ins, _ = jax.lax.while_loop(cond, body, (es, ins, jnp.int32(0)))
+    es, ins, aux, _ = jax.lax.while_loop(cond, body,
+                                         (es, ins, aux, jnp.int32(0)))
     sig = jnp.exp(-es / kt)
-    ff = _batch_factors(bt, S, n, sig, allow)
-    w2k, bulge_k, pows = _sig_tables(bt, sig)
     L = S.shape[1]
     q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
-    fcbl = tuple(_to_cbl(getattr(ff, f)) for f in FACTOR_FIELDS)
-    ob_c = outside_pallas(fcbl, _to_cbl(ins.qm), _to_cbl(ins.qm1), q1pad,
-                          ins.q2, w2k, bulge_k, sig[:, None], pows, L, B,
-                          b_blk, interpret)
-    ob = _from_cbl(ob_c)
+    fcbl = tuple(getattr(aux["ffc"], f) for f in FACTOR_FIELDS)
+    ob = outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2,
+                        aux["w2k"], aux["bulge_k"], sig[:, None],
+                        aux["pows"], L, B, b_blk, interpret)
     zn = ins.zn
     bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
                     0.0)
     sl = lambda t: t[:B0]
     return dict(
-        ins=jax.tree_util.tree_map(sl, ins), ff=jax.tree_util.tree_map(sl, ff),
+        ins=jax.tree_util.tree_map(sl, ins),
+        ff=jax.tree_util.tree_map(sl, aux["ffn"]),
         ob=sl(ob), bpp=sl(bpp), sig=sl(sig), es=sl(es))

@@ -38,6 +38,67 @@ from .shuffle import shuffle_batch
 DEFAULT_BUCKETS = (64, 64, 64, 128, 128)
 
 
+def _use_scan_pallas() -> bool:
+    """Pallas megakernel DP path on real TPU backends; jnp scans elsewhere.
+
+    The tunneled TPU registers as backend "axon"; RACTIP_TPU_SCAN_PALLAS=0/1
+    overrides (1 runs the kernels in interpret mode on CPU, for tests)."""
+    import os
+    ov = os.environ.get("RACTIP_TPU_SCAN_PALLAS")
+    if ov is not None:
+        return ov != "0"
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _batch_posteriors(params: EnergyParams, S1, n1, S2, n2,
+                      cfg: SolverConfig, use_pf_duplex: bool,
+                      b_blk: int = 8):
+    """All posterior matrices for the batch via the Pallas DP megakernels.
+
+    One batched fold per distinct bucket length covers bpp AND accessibility
+    (the reference runs pf_fold and pf_unstru separately; here the
+    inside/outside tables are shared), cofold runs the cut-aware kernels."""
+    from ..ops import cofold_pallas as cp
+    from ..ops import scan_pallas as sp
+    from ..ops.accessibility import unpaired_probs
+    from ..ops.mccaskill import OutsideState
+    from ..params.boltz import get_boltz
+    bt = get_boltz(params)
+    interp = jax.default_backend() == "cpu"
+    L1, L2 = S1.shape[1], S2.shape[1]
+    max_w = max(1, cfg.max_w)
+    B = S1.shape[0]
+
+    if L1 == L2:
+        r = sp.batch_fold(params, jnp.concatenate([S1, S2]),
+                          jnp.concatenate([n1, n2]), b_blk=b_blk,
+                          interpret=interp)
+        r1 = jax.tree_util.tree_map(lambda t: t[:B], r)
+        r2 = jax.tree_util.tree_map(lambda t: t[B:], r)
+    else:
+        r1 = sp.batch_fold(params, S1, n1, b_blk=b_blk, interpret=interp)
+        r2 = sp.batch_fold(params, S2, n2, b_blk=b_blk, interpret=interp)
+    bpp1, bpp2 = r1["bpp"], r2["bpp"]
+
+    if cfg.accessibility:
+        def pu_of(r, n):
+            return jax.vmap(lambda ff, ins, ob, sig, m: unpaired_probs(
+                ff, bt, ins, OutsideState(ob=ob, bpp=ob), m, max_w,
+                jnp.float32, sig))(r["ff"], r["ins"], r["ob"], r["sig"], n)
+
+        pu1, pu2 = pu_of(r1, n1), pu_of(r2, n2)
+    else:
+        pu1 = pu2 = None
+
+    if use_pf_duplex:
+        hp = jax.vmap(lambda a, b, m1, m2: hybrid_probs(
+            params, a, b, m1, m2))(S1, S2, n1, n2)
+    else:
+        hp = cp.batch_cofold(params, S1, S2, n1, n2, b_blk=b_blk,
+                             interpret=interp)["hp"]
+    return bpp1, bpp2, hp, pu1, pu2
+
+
 def _ss_cfg(cfg: SolverConfig) -> SolverConfig:
     """Config of the secondary-structure-only model (reference solve_ss)."""
     return SolverConfig(min_w=0, max_w=0, in_pk=False,
@@ -62,7 +123,8 @@ def predict_device(params: EnergyParams, S1, n1, S2, n2, cfg: SolverConfig,
     EnergyParams holds host numpy tables (not a pytree), so it is closed over
     and the jitted executable cached per (params identity, static config).
     """
-    key = (id(params), cfg, buckets, iters, use_pf_duplex, with_ss, ss_buckets)
+    key = (id(params), cfg, buckets, iters, use_pf_duplex, with_ss,
+           ss_buckets, _use_scan_pallas())
     fn = _PREDICT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(functools.partial(
@@ -78,18 +140,27 @@ def _predict_device(params: EnergyParams, cfg: SolverConfig, buckets,
     L1, L2 = S1.shape[1], S2.shape[1]
     max_w = max(1, cfg.max_w)
 
-    def one(s1, m1, s2, m2):
-        bpp1 = base_pair_probs(params, s1, m1)
-        bpp2 = base_pair_probs(params, s2, m2)
-        if use_pf_duplex:
-            hp = hybrid_probs(params, s1, s2, m1, m2)
-        else:
-            hp = cofold_hybrid_probs(params, s1, s2, m1, m2)
-        if cfg.accessibility:
-            pu1 = accessibility(params, s1, m1, max_w)
-            pu2 = accessibility(params, s2, m2, max_w)
-        else:
-            pu1 = pu2 = None
+    if _use_scan_pallas():
+        bpp1_b, bpp2_b, hp_b, pu1_b, pu2_b = _batch_posteriors(
+            params, S1, n1, S2, n2, cfg, use_pf_duplex)
+    else:
+        def dps(s1, m1, s2, m2):
+            bpp1 = base_pair_probs(params, s1, m1)
+            bpp2 = base_pair_probs(params, s2, m2)
+            if use_pf_duplex:
+                hp = hybrid_probs(params, s1, s2, m1, m2)
+            else:
+                hp = cofold_hybrid_probs(params, s1, s2, m1, m2)
+            if cfg.accessibility:
+                pu1 = accessibility(params, s1, m1, max_w)
+                pu2 = accessibility(params, s2, m2, max_w)
+            else:
+                pu1 = pu2 = None
+            return bpp1, bpp2, hp, pu1, pu2
+
+        bpp1_b, bpp2_b, hp_b, pu1_b, pu2_b = jax.vmap(dps)(S1, n1, S2, n2)
+
+    def one(bpp1, bpp2, hp, pu1, pu2, m1, m2):
         prob = build_problem_device(bpp1, bpp2, hp, pu1, pu2, m1, m2,
                                     cfg, buckets)
         u, obj, bound, mv = solve_joint_device(prob, cfg, L1, L2, iters)
@@ -121,7 +192,10 @@ def _predict_device(params: EnergyParams, cfg: SolverConfig, buckets,
             out["ss2"] = dict(prob=p2, u=u2, obj=o2, mv=v2)
         return out
 
-    return jax.vmap(one)(S1, n1, S2, n2)
+    if cfg.accessibility:
+        return jax.vmap(one)(bpp1_b, bpp2_b, hp_b, pu1_b, pu2_b, n1, n2)
+    return jax.vmap(lambda a, b, h, m1, m2: one(a, b, h, None, None, m1, m2)
+                    )(bpp1_b, bpp2_b, hp_b, n1, n2)
 
 
 def _tree_index(tree, b: int):

@@ -57,7 +57,7 @@ def test_inside_matches_jnp(params):
     es = jnp.full((B,), mc.SCALE_E0, jnp.float32)
     ins_ref, _ = _jnp_reference(params, S, n, es)
     bt = get_boltz(params)
-    ins, ff, sig = sp.batch_inside(bt, S, n, es, b_blk=8, interpret=True)
+    ins, aux, sig = sp.batch_inside(bt, S, n, es, b_blk=8, interpret=True)
     np.testing.assert_allclose(ins.qb, ins_ref.qb, rtol=2e-5, atol=1e-30)
     np.testing.assert_allclose(ins.qm, ins_ref.qm, rtol=2e-5, atol=1e-30)
     np.testing.assert_allclose(ins.qm1, ins_ref.qm1, rtol=2e-5, atol=1e-30)
