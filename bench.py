@@ -21,7 +21,9 @@ import numpy as np
 
 BATCH = 128
 SEQ_PROBE = 4
-ITERS = 1500
+# the ACCURACY operating point (same solver budget as the corpus protocol in
+# RESULTS.md), so throughput and accuracy are quoted from one configuration
+ITERS = 4000
 
 
 def main():

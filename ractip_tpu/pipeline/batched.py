@@ -108,30 +108,91 @@ def _ss_cfg(cfg: SolverConfig) -> SolverConfig:
 _PREDICT_CACHE: dict = {}
 
 
+def _pack_leaves(out):
+    """Flatten a result pytree into ONE batch-major array per dtype.
+
+    The tunneled TPU backend pays ~30 ms latency PER device->host transfer;
+    a result pytree with ~25 leaves costs ~900 ms of pure round trips.
+    Packing inside the jitted function makes retrieval 2 transfers total.
+    Every leaf keeps its leading batch axis (pack along axis 1), so the
+    packed arrays shard over a scenario mesh exactly like the leaves."""
+    leaves, _ = jax.tree_util.tree_flatten(out)
+    assert all(str(l.dtype) in ("float32", "int32") for l in leaves), \
+        [str(l.dtype) for l in leaves]
+    B = leaves[0].shape[0]
+    packed = {}
+    for dt in ("float32", "int32"):
+        parts = [l.reshape(B, -1) for l in leaves if str(l.dtype) == dt]
+        if parts:
+            packed[dt] = jnp.concatenate(parts, axis=1)
+    return packed
+
+
+def _unpack_leaves(host_packed, treedef, specs):
+    offs = {k: 0 for k in host_packed}
+    leaves = []
+    for dt, shape in specs:
+        w = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        buf = host_packed[dt]
+        leaves.append(np.ascontiguousarray(
+            buf[:, offs[dt]:offs[dt] + w]).reshape(shape))
+        offs[dt] += w
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def predict_device(params: EnergyParams, S1, n1, S2, n2, cfg: SolverConfig,
                    buckets=DEFAULT_BUCKETS, iters: int = 3000,
                    use_pf_duplex: bool = False, with_ss: bool = False,
-                   ss_buckets: int = 64):
+                   ss_buckets: int = 64, packed: bool = False, mesh=None):
     """Batched end-to-end prediction on device (jitted per parameter set).
 
     S1: [B, L1] padded encodings, n1: [B] lengths (same for S2).  Returns a
     dict of stacked results: the JointProblem pytree, binary solution tuple,
     objectives, LP bounds, repair violations, and candidate-overflow counts.
     With with_ss=True also solves the x-only secondary-structure model per
-    sequence (for the z-score's e1s/e2s statistic).
+    sequence (for the z-score's e1s/e2s statistic).  packed=True returns the
+    same pytree with HOST numpy leaves via dtype-packed transfers (fast on
+    high-latency device links).  With a mesh, the whole per-shard pipeline
+    runs under shard_map with the batch axis sharded over the scenario mesh
+    (B must divide by the mesh size).
 
     EnergyParams holds host numpy tables (not a pytree), so it is closed over
     and the jitted executable cached per (params identity, static config).
     """
     key = (id(params), cfg, buckets, iters, use_pf_duplex, with_ss,
-           ss_buckets, _use_scan_pallas())
-    fn = _PREDICT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(functools.partial(
+           ss_buckets, _use_scan_pallas(), packed, id(mesh) if mesh else None)
+    hit = _PREDICT_CACHE.get(key)
+    if hit is None:
+        base = functools.partial(
             _predict_device, params, cfg, buckets, iters, use_pf_duplex,
-            with_ss, ss_buckets))
-        _PREDICT_CACHE[key] = fn
-    return fn(S1, n1, S2, n2)
+            with_ss, ss_buckets)
+        run = (lambda *a: _pack_leaves(base(*a))) if packed else base
+        if mesh is not None:
+            from jax.sharding import PartitionSpec
+            from ..parallel.mesh import SCENARIO_AXES
+            spec = PartitionSpec(SCENARIO_AXES)
+            # check_vma=False: the DP while_loops initialize carries from
+            # unvarying zeros, which the varying-manual-axes checker rejects
+            # even though every shard's computation is independent
+            run = jax.shard_map(run, mesh=mesh, in_specs=(spec,) * 4,
+                                out_specs=spec, check_vma=False)
+        hit = _PREDICT_CACHE[key] = (jax.jit(run), {})
+    fn, shape_cache = hit
+    out = fn(S1, n1, S2, n2)
+    if not packed:
+        return out
+    skey = (S1.shape, S2.shape)
+    if skey not in shape_cache:
+        shapes = jax.eval_shape(
+            functools.partial(_predict_device, params, cfg, buckets, iters,
+                              use_pf_duplex, with_ss, ss_buckets),
+            S1, n1, S2, n2)
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        shape_cache[skey] = (treedef, [(str(l.dtype), l.shape)
+                                       for l in leaves])
+    treedef, specs = shape_cache[skey]
+    host = {k: np.asarray(v) for k, v in out.items()}
+    return _unpack_leaves(host, treedef, specs)
 
 
 def _predict_device(params: EnergyParams, cfg: SolverConfig, buckets,
@@ -231,14 +292,25 @@ class BatchResult:
 
 def _run_chunk(params: EnergyParams, pairs, S1, n1, S2, n2,
                cfg: SolverConfig, opts: Options, buckets, iters: int,
-               want_energy: bool) -> dict:
+               want_energy: bool, mesh=None) -> dict:
     """One device dispatch + host decode; returns plain numpy arrays (so
     chunks are directly storable by utils.checkpoint)."""
+    B0 = len(pairs)
+    if mesh is not None:
+        # pad the scenario axis to the mesh size (results sliced back below)
+        from ..parallel.mesh import pad_to_mesh
+        Bp = pad_to_mesh(B0, mesh)
+        if Bp != B0:
+            ex = lambda a: np.concatenate(
+                [a, np.repeat(a[-1:], Bp - B0, axis=0)])
+            S1, n1, S2, n2 = ex(S1), ex(n1), ex(S2), ex(n2)
     out = predict_device(
         params, jnp.asarray(S1), jnp.asarray(n1), jnp.asarray(S2),
         jnp.asarray(n2), cfg, buckets=buckets, iters=iters,
-        use_pf_duplex=opts.use_pf_duplex, with_ss=want_energy)
-    out = jax.tree_util.tree_map(np.asarray, out)
+        use_pf_duplex=opts.use_pf_duplex, with_ss=want_energy, packed=True,
+        mesh=mesh)
+    if mesh is not None and len(pairs) != S1.shape[0]:
+        out = jax.tree_util.tree_map(lambda t: t[:B0], out)
     B = len(pairs)
     r1s, r2s, energies = [], [], np.zeros((B, 5))
     for b in range(B):
@@ -272,13 +344,17 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
                   opts: Options | None = None, chunk: int = 256,
                   iters: int = 3000, buckets=DEFAULT_BUCKETS,
                   want_energy: bool = False,
-                  ckpt_dir: str | None = None) -> BatchResult:
+                  ckpt_dir: str | None = None, mesh=None) -> BatchResult:
     """Predict joint structures for a list of (seq1, seq2) on device.
 
     All pairs share one padded shape (the max bucket), so the whole sweep is
     one compiled executable; chunking bounds device memory.  With ckpt_dir,
     each completed chunk is persisted (utils.checkpoint.SweepCheckpoint) and
-    a restarted sweep resumes after the last finished chunk.
+    a restarted sweep resumes after the last finished chunk.  With a
+    jax.sharding.Mesh (parallel.scenario_mesh), each chunk's batch axis is
+    sharded over the mesh devices and the per-shard pipeline runs under
+    shard_map -- the production multi-chip path validated by
+    __graft_entry__.dryrun_multichip.
     """
     opts = opts or Options()
     cfg = opts.solver_cfg()
@@ -295,7 +371,8 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
     def run(i: int) -> dict:
         s, e = starts[i], min(B, starts[i] + chunk)
         return _run_chunk(params, pairs[s:e], S1[s:e], n1[s:e], S2[s:e],
-                          n2[s:e], cfg, opts, buckets, iters, want_energy)
+                          n2[s:e], cfg, opts, buckets, iters, want_energy,
+                          mesh=mesh)
 
     if ckpt_dir is not None:
         from ..utils.checkpoint import SweepCheckpoint
@@ -326,12 +403,15 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
 
 def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
                  params: EnergyParams | None = None, chunk: int = 256,
-                 iters: int = 3000, buckets=DEFAULT_BUCKETS):
+                 iters: int = 3000, buckets=DEFAULT_BUCKETS,
+                 ckpt_dir: str | None = None, mesh=None):
     """Batched z-score (reference src/ractip.cpp:1624-1669).
 
     Returns (z, zs, stats): z over e = e1+e2+e3, zs over es = e - e1s - e2s,
     computed against num_shuffling dinucleotide-shuffled decoys whose whole
-    pipelines run batched on device.
+    pipelines run batched on device.  With a mesh, the decoy sweep is sharded
+    across devices and the mean/variance reduction runs as psum collectives
+    (parallel.sharded_mean_var); ckpt_dir makes the sweep resumable.
     """
     opts = opts or Options(zscore=12)
     params = params or get_default_params()
@@ -351,13 +431,28 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
           else [fa2.seq] * ns)
     decoys = list(zip(d1, d2))
     batch = predict_batch(params, decoys, opts, chunk=chunk, iters=iters,
-                          buckets=buckets, want_energy=True)
+                          buckets=buckets, want_energy=True,
+                          ckpt_dir=ckpt_dir, mesh=mesh)
     ee = batch.energies[:, 0] + batch.energies[:, 1] + batch.energies[:, 2]
     ees = ee - batch.energies[:, 3] - batch.energies[:, 4]
 
-    def zstat(x0, xs):
-        m, v = float(np.mean(xs)), float(np.var(xs))
-        return (x0 - m) / np.sqrt(v) if v > 0 else np.inf
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_mesh, sharded_mean_var
+
+        def zstat(x0, xs):
+            Bp = pad_to_mesh(len(xs), mesh)
+            xp = np.zeros(Bp, np.float32)
+            xp[:len(xs)] = xs
+            valid = np.zeros(Bp, np.float32)
+            valid[:len(xs)] = 1.0
+            m, v = sharded_mean_var(jnp.asarray(xp), mesh,
+                                    jnp.asarray(valid))
+            m, v = float(m), float(v)
+            return (x0 - m) / np.sqrt(v) if v > 0 else np.inf
+    else:
+        def zstat(x0, xs):
+            m, v = float(np.mean(xs)), float(np.var(xs))
+            return (x0 - m) / np.sqrt(v) if v > 0 else np.inf
 
     stats = dict(e=e, es=es, decoy_e=ee, decoy_es=ees,
                  violation=batch.violation, overflow=batch.overflow,

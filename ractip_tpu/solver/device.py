@@ -299,7 +299,7 @@ def solve_joint_device(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
     lp_bound; the gap is reported so callers can fall back to the host
     branch-and-bound for instances where it exceeds tolerance.
     """
-    u_lp, _y, bound = pdhg_solve(p, cfg, L1, L2, iters=iters)
+    u_lp, ydual, bound = pdhg_solve(p, cfg, L1, L2, iters=iters)
     u, _dropped, mv = round_and_repair(p, cfg, L1, L2, u_lp)
     coefs = (p.xc * p.xm, p.yc * p.ym, p.zc * p.zm, p.vc * p.vm, p.wc * p.wm)
 
@@ -308,10 +308,15 @@ def solve_joint_device(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
 
     obj = objective(u)
     if cfg.accessibility and cfg.acc_num > 0:
-        # stage 2: pin the LP-guided integral region choice and re-solve
+        # stage 2: pin the LP-guided integral region choice and re-solve,
+        # warm-started from the stage-1 primal/dual iterates (the fixed
+        # problem differs only in the region box bounds, so a third of the
+        # budget recovers the same iterate quality as a cold full run)
         fix_lb, fix_ub = _region_fixings(p, cfg, L1, L2, u_lp)
-        u_lp2, _y2, _b2 = pdhg_solve(p, cfg, L1, L2, iters=iters,
-                                     fix_lb=fix_lb, fix_ub=fix_ub)
+        u_lp2, _y2, _b2 = pdhg_solve(p, cfg, L1, L2,
+                                     iters=max(iters // 3, 200),
+                                     fix_lb=fix_lb, fix_ub=fix_ub,
+                                     u0=u_lp, y0=ydual)
         u2, _d2, mv2 = round_and_repair(p, cfg, L1, L2, u_lp2,
                                         fix_lb=fix_lb, fix_ub=fix_ub)
         obj2 = objective(u2)
