@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-batch", dest="batch", action="store_false")
     ap.add_argument("--chunk", type=int, default=256,
                     help="device batch chunk size")
+    ap.add_argument("--timings", action="store_true",
+                    help="print per-stage wall times to stderr")
+    ap.add_argument("--records", type=str, default=None, metavar="PATH",
+                    help="append a structured JSONL result record to PATH")
     return ap
 
 
@@ -156,18 +160,41 @@ def main(argv: list[str] | None = None) -> int:
         print("ractip-tpu: -c/--contrafold not supported on the batched "
               "z-score path; falling back to the sequential path",
               file=sys.stderr)
+    from .utils.timing import StageTimer
+    timer = StageTimer() if args.timings else None
+
+    def _emit(r1, r2, objective=None, energies=None, zscore=None):
+        if args.records:
+            from .utils.records import PairRecord, write_records
+            rec = PairRecord(
+                name1=fa1.name, name2=fa2.name, seq1=fa1.seq, seq2=fa2.seq,
+                r1=r1, r2=r2, objective=objective, energies=energies,
+                zscore=zscore,
+                timings=timer.report() if timer else None)
+            write_records(args.records, [rec], append=True)
+        if timer:
+            print(f"timings: {timer.json()}", file=sys.stderr)
+
     if args.zscore in (1, 2, 12) and can_batch:
         z, zs, stats = batched.zscore_batch(
-            fa1, fa2, opts, params, chunk=args.chunk)
+            fa1, fa2, opts, params, chunk=args.chunk, timer=timer)
         r1, r2 = stats["brackets"]
         print(f">{fa1.name}\n{fa1.seq}\n{r1}")
         print(f">{fa2.name}\n{fa2.seq}\n{r2}")
         if args.show_energy:
             print(f"(E: JS= {stats['e']:g}, JS-S1-S2= {stats['es']:g})")
         print(f"z-score: {z:g}, {zs:g}")
+        _emit(r1, r2, energies=dict(e=float(stats["e"]),
+                                    es=float(stats["es"])),
+              zscore=(float(z), float(zs)))
         return 0
 
+    if timer is not None:
+        cm = timer("predict")
+        cm.__enter__()
     pred = predict(fa1, fa2, opts, params)
+    if timer is not None:
+        cm.__exit__(None, None, None)
     print(f">{fa1.name}\n{fa1.seq}\n{pred.r1}")
     print(f">{fa2.name}\n{fa2.seq}\n{pred.r2}")
     if args.show_energy:
@@ -177,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
               f"S1+S2= {ss:g} = {_fmt_sum([pred.e1s, pred.e2s])})")
     if pred.zscore is not None:
         print(f"z-score: {pred.zscore[0]:g}, {pred.zscore[1]:g}")
+    ee = None
+    if pred.e1 is not None:
+        ee = dict(e1=pred.e1, e2=pred.e2, e3=pred.e3, e1s=pred.e1s,
+                  e2s=pred.e2s)
+    _emit(pred.r1, pred.r2, objective=float(pred.objective), energies=ee,
+          zscore=pred.zscore)
     return 0
 
 

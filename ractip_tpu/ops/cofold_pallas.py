@@ -63,7 +63,7 @@ def _co_inside_kernel(
         qm1c_o,                                 # cbl column stream
         qb_o, qm_o, qm1_o, qx_o, qmT_o, q1_o,   # natural / transposed outs
         qmS, qxS, Qb, Mb, Ab, qm1P, qxP, qxA, q1S, M5S, J1S,   # scratch
-        *, L: int, B: int):
+        *, L: int, B: int, emit_state: bool):
     j = pl.program_id(1)
     ct = cut[:, 0:1]                            # [B, 1] int32
     lane = _lane_iota((B, L))
@@ -185,8 +185,12 @@ def _co_inside_kernel(
 
     qm1c_o[0] = qm1col
     _lane_write(qb_o, j, qbcol)
-    _lane_write(qm_o, j, qmcol)
-    _lane_write(qm1_o, j, qm1col)
+    if emit_state:
+        # qm/qm1 natural-layout copies are only needed by the equivalence
+        # tests; their resident blocks cost 2*L^2*B_blk*4 bytes of VMEM, so
+        # production folds of long concatenations skip them
+        _lane_write(qm_o, j, qmcol)
+        _lane_write(qm1_o, j, qm1col)
     _lane_write(qx_o, j, qxcol)
     _lane_write(qmT_o, j, jnp.transpose(qmcol))
     q1_o[...] = q1S[...]
@@ -199,7 +203,8 @@ def _onehot_read_row(t, idx_vec):
 
 
 def co_inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, cut, L: int,
-                     B: int, b_blk: int = 8, interpret: bool = False):
+                     B: int, b_blk: int = 8, interpret: bool = False,
+                     emit_state: bool = False):
     nb = B // b_blk
     fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
 
@@ -211,15 +216,21 @@ def co_inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, cut, L: int,
     tT = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
     cmat = jax.ShapeDtypeStruct((L, B, L), F32)
     nmat = jax.ShapeDtypeStruct((B, L, L), F32)
+    if emit_state:
+        state_spec, state_shape = nat, nmat
+    else:       # unwritten dummies (VMEM-budget escape for long L)
+        state_spec = pl.BlockSpec((b_blk, 8, 128), lambda b, j: (b, 0, 0))
+        state_shape = jax.ShapeDtypeStruct((B, 8, 128), F32)
     return pl.pallas_call(
-        functools.partial(_co_inside_kernel, L=L, B=b_blk),
+        functools.partial(_co_inside_kernel, L=L, B=b_blk,
+                          emit_state=emit_state),
         grid=(nb, L),
         in_specs=[fcol] * 16 + [fall((b_blk, W, W)), fall((b_blk, W)),
                                 fall((b_blk, 1)), fall((b_blk, POW2)),
                                 fall((b_blk, 1))],
-        out_specs=(out_col, nat, nat, nat, nat, tT,
+        out_specs=(out_col, nat, state_spec, state_spec, nat, tT,
                    pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))),
-        out_shape=(cmat, nmat, nmat, nmat, nmat, cmat,
+        out_shape=(cmat, nmat, state_shape, state_shape, nmat, cmat,
                    jax.ShapeDtypeStruct((B, L), F32)),
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, L), F32),     # qmS
@@ -482,7 +493,8 @@ def _co_batch_factors(bt, S, n, cut, sig, allow=None,
     return jax.vmap(fn, out_axes=oax)(S, n, cut, sig, allow)
 
 
-def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
+def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow,
+                    emit_state: bool = False):
     B, L = S.shape
     sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
     ffn = _co_batch_factors(bt, S, n, cut, sig, allow)
@@ -491,14 +503,19 @@ def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
     fcbl = tuple(getattr(ffc, f) for f in CO_FIELDS)
     cut2 = cut[:, None].astype(jnp.int32)
     qm1_c, qb, qm, qm1, qx, qmT, q1 = co_inside_pallas(
-        fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk, interpret)
+        fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk, interpret,
+        emit_state)
+    if not emit_state:
+        # qm/qm1 outputs are unwritten dummies; keep empty placeholders so
+        # the adaptive while_loop carry stays well-defined
+        qm = qm1 = jnp.zeros((B, 0, 0), F32)
     zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0), axis=1)[:, 0]
     qbe = qb * ffn.fe
     q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
                    b_blk, interpret)
     hi = F32(0.99 * HUGE)
     sat = (jnp.max(qb.reshape(B, -1), axis=1) >= hi) \
-        | (jnp.max(qm.reshape(B, -1), axis=1) >= hi) \
+        | (jnp.max(qmT, axis=(0, 2)) >= hi) \
         | (jnp.max(qx.reshape(B, -1), axis=1) >= hi) \
         | (jnp.max(q1, axis=1) >= hi) | ~jnp.isfinite(zn)
     ins = CoInsideState(qb=qb, qm=qm, qm1=qm1, qx=qx, q1=q1, q2=q2, zn=zn,
@@ -508,12 +525,25 @@ def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow):
     return ins, ffn, sig, aux
 
 
-def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
-                 interpret: bool = False, allow=None, es0: float = SCALE_E0):
+def batch_cofold(params, S1, S2, n1, n2, b_blk: int | None = None,
+                 max_iter: int = 8,
+                 interpret: bool = False, allow=None, es0: float = SCALE_E0,
+                 emit_state: bool = False):
     """Batched joint fold of the concatenations; returns a dict with the
     batched CoInsideState, ob, bpp over the concatenation, and hp [B, L1, L2]
-    (the reference's cross-cut hybridization posteriors)."""
+    (the reference's cross-cut hybridization posteriors).
+
+    emit_state=True additionally materializes qm/qm1 in natural layout (the
+    equivalence tests compare them); production folds skip them so the
+    resident VMEM state supports concatenations up to L1+L2 ~ 300."""
     bt = get_boltz(params)
+    if b_blk is None:
+        b_blk = 8
+    if S1.shape[1] + S2.shape[1] > 320:
+        raise ValueError(
+            "cofold megakernel supports concatenations up to ~320nt "
+            f"(got {S1.shape[1] + S2.shape[1]}); longer targets need the "
+            "streamed-state kernel variant")
     B0, L1 = S1.shape
     L2 = S2.shape[1]
     B = -(-B0 // b_blk) * b_blk
@@ -532,7 +562,7 @@ def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
 
     es = jnp.full((B,), es0, F32)
     ins, ffn, sig, aux = _co_inside_once(bt, S, n, cut, es, b_blk, interpret,
-                                         allow)
+                                         allow, emit_state)
 
     def good(ins):
         return (~ins.sat) & (ins.zn > ZLO) & (ins.zn < ZHI) \
@@ -551,7 +581,7 @@ def batch_cofold(params, S1, S2, n1, n2, b_blk: int = 8, max_iter: int = 8,
                                   es + kt * jnp.log(ins.zn) / nf, es - step))
         es2 = jnp.where(good(ins), es, es2)
         ins2, _, _, aux2 = _co_inside_once(bt, S, n, cut, es2, b_blk,
-                                           interpret, allow)
+                                           interpret, allow, emit_state)
         return (es2, ins2, aux2, it + 1)
 
     es, ins, aux, _ = jax.lax.while_loop(cond, body,

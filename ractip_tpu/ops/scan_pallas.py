@@ -532,15 +532,24 @@ def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
     return ins, aux, sig
 
 
-def batch_fold(params, S, n, b_blk: int = 8, max_iter: int = 8,
+def batch_fold(params, S, n, b_blk: int | None = None, max_iter: int = 8,
                interpret: bool = False, allow=None, es0: float = SCALE_E0):
     """Batched inside+outside with per-instance adaptive pf scaling.
 
     S [B, L] int32 encodings, n [B] lengths.  Returns a dict with the batched
     InsideState, FoldFactors, ob, bpp [B, L, L], sigma [B], es [B].  B is
-    padded to a multiple of b_blk internally.
+    padded to a multiple of b_blk internally.  b_blk=None auto-selects 8
+    (shrinking for long L so the resident DP state + dual-layout output
+    blocks stay inside the 16 MB VMEM budget).
     """
     bt = get_boltz(params)
+    if b_blk is None:
+        b_blk = 8
+    if S.shape[1] > 256:
+        raise ValueError(
+            "mccaskill megakernel supports sequences up to ~256nt padded "
+            f"(got {S.shape[1]}); longer targets need the streamed-state "
+            "kernel variant")
     B0 = S.shape[0]
     B = -(-B0 // b_blk) * b_blk
     S = _pad_batch(jnp.asarray(S, jnp.int32), B)

@@ -52,7 +52,7 @@ def _use_scan_pallas() -> bool:
 
 def _batch_posteriors(params: EnergyParams, S1, n1, S2, n2,
                       cfg: SolverConfig, use_pf_duplex: bool,
-                      b_blk: int = 8):
+                      b_blk: int | None = None):
     """All posterior matrices for the batch via the Pallas DP megakernels.
 
     One batched fold per distinct bucket length covers bpp AND accessibility
@@ -290,11 +290,36 @@ class BatchResult:
     energies: np.ndarray | None = None   # [B, 5]: e1 e2 e3 e1s e2s (kcal/mol)
 
 
+def _exact_fallback(out, cfg: SolverConfig, L1: int, L2: int,
+                    gap_tol: float, iters: int):
+    """Re-solve instances whose device objective trails the certified LP
+    bound by more than gap_tol with the exact host branch-and-bound
+    (the reference's glp_intopt always closes the gap, reference
+    src/ip.cpp:112-122; this restores that exactness selectively)."""
+    from ..solver.bnb import solve_joint
+    gaps = np.where(out["bound"] - out["obj"] > gap_tol)[0]
+    for b in gaps:
+        prob = _tree_index(out["prob"], int(b))
+        u, obj, bound, _nodes = solve_joint(prob, cfg, L1, L2, iters=iters)
+        if obj >= out["obj"][b] - 1e-9:
+            for k in range(5):
+                out["u"][k][b] = np.asarray(u[k])
+            out["obj"][b] = obj
+            out["mv"][b] = 0.0
+        # the branch-and-bound bound is certified and at least as tight as
+        # the single-LP bound the device path reports
+        out["bound"][b] = min(float(out["bound"][b]), float(bound))
+    return out
+
+
 def _run_chunk(params: EnergyParams, pairs, S1, n1, S2, n2,
                cfg: SolverConfig, opts: Options, buckets, iters: int,
-               want_energy: bool, mesh=None) -> dict:
+               want_energy: bool, mesh=None,
+               exact_gap_tol: float | None = None, timer=None) -> dict:
     """One device dispatch + host decode; returns plain numpy arrays (so
     chunks are directly storable by utils.checkpoint)."""
+    import contextlib
+    tm = timer if timer is not None else contextlib.nullcontext
     B0 = len(pairs)
     if mesh is not None:
         # pad the scenario axis to the mesh size (results sliced back below)
@@ -304,15 +329,22 @@ def _run_chunk(params: EnergyParams, pairs, S1, n1, S2, n2,
             ex = lambda a: np.concatenate(
                 [a, np.repeat(a[-1:], Bp - B0, axis=0)])
             S1, n1, S2, n2 = ex(S1), ex(n1), ex(S2), ex(n2)
-    out = predict_device(
-        params, jnp.asarray(S1), jnp.asarray(n1), jnp.asarray(S2),
-        jnp.asarray(n2), cfg, buckets=buckets, iters=iters,
-        use_pf_duplex=opts.use_pf_duplex, with_ss=want_energy, packed=True,
-        mesh=mesh)
+    with tm("device"):
+        out = predict_device(
+            params, jnp.asarray(S1), jnp.asarray(n1), jnp.asarray(S2),
+            jnp.asarray(n2), cfg, buckets=buckets, iters=iters,
+            use_pf_duplex=opts.use_pf_duplex, with_ss=want_energy,
+            packed=True, mesh=mesh)
     if mesh is not None and len(pairs) != S1.shape[0]:
         out = jax.tree_util.tree_map(lambda t: t[:B0], out)
+    if exact_gap_tol is not None:
+        with tm("exact_fallback"):
+            out = _exact_fallback(out, cfg, S1.shape[1], S2.shape[1],
+                                  exact_gap_tol, iters)
     B = len(pairs)
     r1s, r2s, energies = [], [], np.zeros((B, 5))
+    decode_cm = tm("decode+energies")
+    decode_cm.__enter__()
     for b in range(B):
         prob = _tree_index(out["prob"], b)
         u = tuple(np.asarray(t[b]) for t in out["u"])
@@ -334,6 +366,7 @@ def _run_chunk(params: EnergyParams, pairs, S1, n1, S2, n2,
             e1s = eos.structure_energy(params, Sa, eos.parse_pairs(rs1)) / 100.0
             e2s = eos.structure_energy(params, Sb, eos.parse_pairs(rs2)) / 100.0
             energies[b] = (e1, e2, e3, e1s, e2s)
+    decode_cm.__exit__(None, None, None)
     return dict(r1=np.asarray(r1s), r2=np.asarray(r2s),
                 obj=np.asarray(out["obj"]), bound=np.asarray(out["bound"]),
                 mv=np.asarray(out["mv"]), overflow=np.asarray(out["overflow"]),
@@ -344,7 +377,9 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
                   opts: Options | None = None, chunk: int = 256,
                   iters: int = 3000, buckets=DEFAULT_BUCKETS,
                   want_energy: bool = False,
-                  ckpt_dir: str | None = None, mesh=None) -> BatchResult:
+                  ckpt_dir: str | None = None, mesh=None,
+                  exact_gap_tol: float | None = None,
+                  timer=None) -> BatchResult:
     """Predict joint structures for a list of (seq1, seq2) on device.
 
     All pairs share one padded shape (the max bucket), so the whole sweep is
@@ -372,14 +407,16 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
         s, e = starts[i], min(B, starts[i] + chunk)
         return _run_chunk(params, pairs[s:e], S1[s:e], n1[s:e], S2[s:e],
                           n2[s:e], cfg, opts, buckets, iters, want_energy,
-                          mesh=mesh)
+                          mesh=mesh, exact_gap_tol=exact_gap_tol,
+                          timer=timer)
 
     if ckpt_dir is not None:
         from ..utils.checkpoint import SweepCheckpoint
         import hashlib
         h = hashlib.sha256(
             repr((list(pairs), cfg, chunk, iters, buckets, want_energy,
-                  opts.use_pf_duplex, opts.use_contrafold)).encode())
+                  opts.use_pf_duplex, opts.use_contrafold,
+                  exact_gap_tol)).encode())
         # energy tables shape the results too: a -P override (or BL* vs
         # Turner) must invalidate stored chunks, not silently resume them
         for f in dataclasses.fields(params):
@@ -404,7 +441,7 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
 def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
                  params: EnergyParams | None = None, chunk: int = 256,
                  iters: int = 3000, buckets=DEFAULT_BUCKETS,
-                 ckpt_dir: str | None = None, mesh=None):
+                 ckpt_dir: str | None = None, mesh=None, timer=None):
     """Batched z-score (reference src/ractip.cpp:1624-1669).
 
     Returns (z, zs, stats): z over e = e1+e2+e3, zs over es = e - e1s - e2s,
@@ -418,7 +455,8 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
     rng = np.random.default_rng(opts.seed if opts.seed else None)
 
     real = predict_batch(params, [(fa1.seq, fa2.seq)], opts, chunk=1,
-                         iters=iters, buckets=buckets, want_energy=True)
+                         iters=iters, buckets=buckets, want_energy=True,
+                         timer=timer)
     e1, e2, e3, e1s, e2s = real.energies[0]
     e = e1 + e2 + e3
     es = e - e1s - e2s
@@ -432,7 +470,7 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
     decoys = list(zip(d1, d2))
     batch = predict_batch(params, decoys, opts, chunk=chunk, iters=iters,
                           buckets=buckets, want_energy=True,
-                          ckpt_dir=ckpt_dir, mesh=mesh)
+                          ckpt_dir=ckpt_dir, mesh=mesh, timer=timer)
     ee = batch.energies[:, 0] + batch.energies[:, 1] + batch.energies[:, 2]
     ees = ee - batch.energies[:, 3] - batch.energies[:, 4]
 

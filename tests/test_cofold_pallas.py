@@ -68,7 +68,7 @@ def test_co_inside_matches_jnp(params):
     bt = get_boltz(params)
     S = cp._pack_concat(S1, S2, n1)
     ins, ff, sig, _ = cp._co_inside_once(bt, S, n1 + n2, n1, es, 4, True,
-                                         None)
+                                         None, emit_state=True)
     ins_ref, _ = _jnp_reference(params, S1, S2, n1, n2, es)
     np.testing.assert_allclose(ins.qb, ins_ref.qb, rtol=3e-5, atol=1e-30)
     np.testing.assert_allclose(ins.qm, ins_ref.qm, rtol=3e-5, atol=1e-30)
@@ -82,7 +82,8 @@ def test_co_inside_matches_jnp(params):
 def test_batch_cofold_bpp_hp_matches_jnp(params):
     rng = np.random.default_rng(1)
     S1, S2, n1, n2 = _rand_batch(rng)
-    res = cp.batch_cofold(params, S1, S2, n1, n2, b_blk=4, interpret=True)
+    res = cp.batch_cofold(params, S1, S2, n1, n2, b_blk=4, interpret=True,
+                          emit_state=True)
     ins_ref, out_ref = _jnp_reference(params, S1, S2, n1, n2, res["es"])
     np.testing.assert_allclose(res["bpp"], out_ref.bpp, rtol=1e-4,
                                atol=1e-10)
