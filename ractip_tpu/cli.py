@@ -114,10 +114,18 @@ def _fmt_sum(parts: list[float]) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.no_bl:
-        print("ractip-tpu: --no-bl is not supported yet "
-              "(only the BL* parameter set ships; use -P to override tables)",
-              file=sys.stderr)
+    if args.no_bl and not args.param_file:
+        # The reference's --no-bl leaves ViennaRNA's built-in Turner tables
+        # in place (src/ractip.cpp:1498,1566); those tables live in the
+        # external Vienna LIBRARY, not in the reference repo, so this
+        # standalone framework cannot ship them.  A complete Vienna-format
+        # parameter dump (e.g. rna_turner2004.par, distributed with
+        # ViennaRNA) via -P reproduces the behavior exactly: with --no-bl
+        # the file is applied INSTEAD of the BL* set.
+        print("ractip-tpu: --no-bl needs -P <file> with a complete "
+              "Vienna-format parameter dump (e.g. rna_turner2004.par); "
+              "the Turner tables are ViennaRNA library data and are not "
+              "bundled here", file=sys.stderr)
         return 1
     if len(args.fasta) >= 2:
         fa1 = load_fasta(args.fasta[0])[0]
@@ -134,7 +142,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.param_file:
         # reference: Vienna::read_parameter_file overrides the (BL*-patched)
         # global tables section by section (src/ractip.cpp:1565-1569)
-        from .params.vienna_par import load_param_file
+        from .params.vienna_par import load_param_file, parse_par
+        if args.no_bl:
+            # --no-bl: the file must be a complete dump -- any section it
+            # omits silently keeps the BL* values, which is NOT the
+            # reference's Turner-default behavior; surface that
+            core = {"stack", "mismatch_h", "mismatch_i", "dangle5",
+                    "dangle3", "int11", "int21", "int22", "hairpin",
+                    "bulge", "internal", "ml", "ninio", "misc"}
+            with open(args.param_file) as fh:
+                present = set(parse_par(fh.read()).tables)
+            missing = sorted(core - present)
+            if missing:
+                print(f"ractip-tpu: --no-bl: {args.param_file} does not "
+                      f"define {', '.join(missing)}; those sections keep "
+                      "BL* values", file=sys.stderr)
         params = load_param_file(args.param_file, params)
 
     if args.rip:

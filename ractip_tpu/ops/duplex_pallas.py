@@ -4,10 +4,12 @@ Same math as ops.duplex._sweep (the inside/outside DP of the reference's
 pf_duplex, reference src/pf_duplex.c:128-206), restructured for the TPU
 memory hierarchy: the rolling W-row window buffers live in VMEM scratch and
 persist across a (L1,)-grid of row steps, factor-matrix rows stream in as
-pipelined (1, L2) blocks, and the banded generic-interior-loop stencil is one
-small MXU matmul (K^T @ window) followed by W+1 static diagonal slices
-instead of an im2col convolution.  Per-row adaptive renormalization keeps
-float32 in range exactly as in the jnp fallback.
+pipelined (8, L2) row blocks (total VMEM ~460*L2 bytes, so accessibility-mode
+targets of multi-knt L2 fit -- nothing is whole-matrix resident), and the
+banded generic-interior-loop stencil is one small MXU matmul (K^T @ window)
+followed by W+1 static diagonal slices instead of an im2col convolution.
+Per-row adaptive renormalization keeps float32 in range exactly as in the
+jnp fallback.
 
 The kernel is written for one pair and resets its scratch at row 0, so it is
 safe under jax.vmap (the batching rule prepends a batch grid axis; scratch
@@ -47,12 +49,14 @@ def _gen_kernel_t(bt: BoltzTables, dtype) -> jnp.ndarray:
 
 
 def _sweep_kernel(
-    # factor matrices, each (L1, L2), fully VMEM-resident
+    # factor matrices, STREAMED as (8, L2) row blocks (block index i//8):
+    # nothing is whole-matrix VMEM-resident, so L2 scales to multi-knt
+    # accessibility-mode targets (VMEM use ~ 460*L2 bytes total)
     start_ref, mm_here_ref, mm_other_ref, tau_ref, pstk_ref, p11_ref,
     p21a_ref, p21b_ref, p22_ref, pb1a_ref, pb1b_ref,
     kt_ref,    # (W+1, W) VMEM, generic-loop stencil (transposed)
     bk_ref,    # (1, W) SMEM, bulge Boltzmann factors by loop size
-    m_ref,     # out: (L1, L2) chain-sum matrix (one row written per step)
+    m_ref,     # out: (8, L2) row block (one row written per step)
     lsc_ref,   # out: (L1, 1) SMEM cumulative log scales
     fbuf, fabuf, ftbuf,  # VMEM scratch (W, L2): raw / *mm_other / *tau windows
     off_ref,   # SMEM scratch (1, 1): running log scale
@@ -60,7 +64,7 @@ def _sweep_kernel(
     L2 = m_ref.shape[1]
     dtype = m_ref.dtype
     i = pl.program_id(0)
-    row = lambda ref: ref[pl.ds(i, 1), :]
+    row = lambda ref: ref[pl.ds(i % 8, 1), :]
 
     @pl.when(i == 0)
     def _init():
@@ -112,7 +116,7 @@ def _sweep_kernel(
     val_n = val * inv
     newoff = off + jnp.log(scale)
 
-    m_ref[pl.ds(i, 1), :] = val_n
+    m_ref[pl.ds(i % 8, 1), :] = val_n
     lsc_ref[i, 0] = newoff
     off_ref[0, 0] = newoff
     fbuf[...] = jnp.concatenate([fbuf[1:, :] * inv, val_n], axis=0)
@@ -127,7 +131,8 @@ def _sweep_fwd(rows: tuple, kt: jnp.ndarray, bk: jnp.ndarray,
                interpret: bool = False):
     L1, L2 = rows[0].shape
     dtype = rows[0].dtype
-    fac_spec = pl.BlockSpec((L1, L2), lambda i: (0, 0),
+    assert L1 % 8 == 0, "bucketed L1 must be a multiple of 8"
+    fac_spec = pl.BlockSpec((8, L2), lambda i: (i // 8, 0),
                             memory_space=pltpu.VMEM)
     M, lsc = pl.pallas_call(
         _sweep_kernel,
@@ -138,7 +143,8 @@ def _sweep_fwd(rows: tuple, kt: jnp.ndarray, bk: jnp.ndarray,
             pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L1, L2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, L2), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((L1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[

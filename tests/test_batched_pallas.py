@@ -17,7 +17,7 @@ from ractip_tpu.pipeline.ractip import Options
 def test_predict_batch_pallas_equivalence(duplex):
     rng = np.random.default_rng(0)
     pairs = []
-    for _ in range(3):
+    for _ in range(2):
         n1 = int(rng.integers(16, 25))
         n2 = int(rng.integers(16, 25))
         pairs.append(("".join(rng.choice(list("ACGU"), n1)),
@@ -28,9 +28,9 @@ def test_predict_batch_pallas_equivalence(duplex):
 
     os.environ["RACTIP_TPU_SCAN_PALLAS"] = "0"
     try:
-        res0 = predict_batch(params, pairs, opts, iters=800, buckets=buckets)
+        res0 = predict_batch(params, pairs, opts, iters=400, buckets=buckets)
         os.environ["RACTIP_TPU_SCAN_PALLAS"] = "1"
-        res1 = predict_batch(params, pairs, opts, iters=800, buckets=buckets)
+        res1 = predict_batch(params, pairs, opts, iters=400, buckets=buckets)
     finally:
         del os.environ["RACTIP_TPU_SCAN_PALLAS"]
 
@@ -52,13 +52,13 @@ def test_predict_batch_mesh_equivalence():
         pytest.skip("needs the virtual multi-device CPU mesh")
     rng = np.random.default_rng(3)
     pairs = [("".join(rng.choice(list("ACGU"), 20)),
-              "".join(rng.choice(list("ACGU"), 20))) for _ in range(5)]
+              "".join(rng.choice(list("ACGU"), 20))) for _ in range(3)]
     opts = Options()
     params = get_default_params()
     buckets = (32, 32, 32, 64, 64)
-    res0 = predict_batch(params, pairs, opts, iters=400, buckets=buckets)
+    res0 = predict_batch(params, pairs, opts, iters=300, buckets=buckets)
     mesh = scenario_mesh(8)
-    res1 = predict_batch(params, pairs, opts, iters=400, buckets=buckets,
+    res1 = predict_batch(params, pairs, opts, iters=300, buckets=buckets,
                          mesh=mesh)
     assert res0.r1 == res1.r1 and res0.r2 == res1.r2
     np.testing.assert_allclose(res0.objective, res1.objective, atol=1e-5)

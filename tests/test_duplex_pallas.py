@@ -72,3 +72,26 @@ def test_duplex_pallas_under_vmap():
     np.testing.assert_allclose(np.asarray(lz1), np.asarray(lz0),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(pr1), np.asarray(pr0), atol=2e-5)
+
+
+def test_duplex_pallas_long_target():
+    """Row-streamed factor blocks: the kernel no longer holds whole factor
+    matrices in VMEM, so long accessibility-mode targets (L2 >> 512) work.
+    Interpret-mode check at L2=2048 against the jnp sweep."""
+    params = get_default_params()
+    rng = np.random.default_rng(7)
+    s1 = "".join(rng.choice(list("ACGU"), 40))
+    s2 = "".join(rng.choice(list("ACGU"), 1990))
+    from ractip_tpu.ops.seq import bucket_length, encode
+    L1, L2 = bucket_length(len(s1)), bucket_length(len(s2))
+    assert L2 >= 2016
+    S1 = jnp.asarray(encode(s1, L1))
+    S2 = jnp.asarray(encode(s2, L2))
+    n1, n2 = jnp.int32(len(s1)), jnp.int32(len(s2))
+    r0 = dx.duplex(params, S1, S2, n1, n2, use_pallas=False)
+    r1 = dx.duplex(params, S1, S2, n1, n2, use_pallas=True,
+                   pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(r1.log_zd), np.asarray(r0.log_zd),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.pr), np.asarray(r0.pr),
+                               atol=2e-5)
