@@ -141,8 +141,22 @@ def cd_hybrid_probs(S1, S2, n1, n2, model: str = "complementary",
     L1, L2 = S1.shape[0], S2.shape[0]
     tables = get_cf_tables(model)
     eps = jnp.zeros((L1, L2 + 1), dtype)
-    g = jax.grad(lambda e: _cd_logz(
-        tables, jnp.asarray(S1), jnp.asarray(S2),
-        jnp.asarray(n1, jnp.int32), jnp.asarray(n2, jnp.int32),
-        L1, L2, e))(eps)
+
+    def lz(e):
+        return _cd_logz(tables, jnp.asarray(S1), jnp.asarray(S2),
+                        jnp.asarray(n1, jnp.int32), jnp.asarray(n2, jnp.int32),
+                        L1, L2, e)
+
+    if jax.default_backend() == "cpu":
+        # this image's XLA:CPU compiler loops forever (any optimization
+        # level, any device count) on the TRANSPOSED duplex scan that
+        # jax.grad of this program produces -- reproducible on unmodified
+        # older revisions, i.e. a compiler bug, not a model change.  Eager
+        # evaluation computes the identical gradient without that compile;
+        # the duplex grid is small, so the op-by-op cost is acceptable on
+        # the (latent --contrafold) CPU path.
+        with jax.disable_jit():
+            g = jax.grad(lz)(eps)
+    else:
+        g = jax.grad(lz)(eps)
     return g[:, 1:]

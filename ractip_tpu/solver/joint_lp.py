@@ -313,15 +313,22 @@ def _op_norm(cfg, ops, u0, iters: int = 30):
     return jnp.sqrt(jnp.maximum(nrm2, 1e-6))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "L1", "L2", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "L1", "L2", "iters", "restarts"))
 def pdhg_solve(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
                iters: int = 4000, fix_lb=None, fix_ub=None,
-               u0=None, y0=None):
+               u0=None, y0=None, restarts: int = 0):
     """Run PDHG on the LP relaxation.
 
     Returns (u, ydual, ub_bound): primal iterate (averaged tail), final duals,
     and a rigorous upper bound on the (box-constrained) LP/ILP optimum.
     u0/y0 warm-start the iteration (e.g. from a parent branch-and-bound node).
+    restarts > 0 splits the budget into restarts+1 segments, restarting each
+    from the previous segment's AVERAGE iterate (PDLP-style fixed-frequency
+    restart).  Measured on this problem family the averaged tail already
+    converges as well (bounds equal at iters=4000, restarts occasionally
+    WORSE at 1500), so the default stays 0; the knob exists for harder
+    instances.
     """
     ops = make_ops(p, L1, L2)
     c = _coefs(p)
@@ -352,17 +359,25 @@ def pdhg_solve(p: JointProblem, cfg: SolverConfig, L1: int, L2: int,
         yavg = {k: yavg[k] + yn[k] for k in y}
         return (un, yn, uavg, yavg)
 
-    # two phases: run, then tail-average the last half for smoother iterates
-    half = iters // 2
-    u, y, _, _ = jax.lax.fori_loop(
-        0, half, step, (u0, y0, _tmap(jnp.zeros_like, u0),
-                        {k: jnp.zeros_like(v) for k, v in y0.items()}))
-    u, y, uavg, yavg = jax.lax.fori_loop(
-        0, iters - half, step, (u, y, _tmap(jnp.zeros_like, u0),
-                                {k: jnp.zeros_like(v) for k, v in y0.items()}))
-    denom = float(iters - half)
-    uavg = _tmap(lambda t: t / denom, uavg)
-    yavg = {k: v / denom for k, v in yavg.items()}
+    def run_segment(u, y, n):
+        u, y, ua, ya = jax.lax.fori_loop(
+            0, n, step, (u, y, _tmap(jnp.zeros_like, u),
+                         {k: jnp.zeros_like(v) for k, v in y.items()}))
+        ua = _tmap(lambda t: t / float(n), ua)
+        ya = {k: v / float(n) for k, v in ya.items()}
+        return u, y, ua, ya
+
+    if restarts > 0:
+        seg = max(iters // (restarts + 1), 1)
+        u, y = u0, y0
+        for _ in range(restarts):
+            _, _, u, y = run_segment(u, y, seg)   # restart at the average
+        u, y, uavg, yavg = run_segment(u, y, iters - restarts * seg)
+    else:
+        # legacy two-phase: run, then tail-average the last half
+        half = iters // 2
+        u, y, _, _ = run_segment(u0, y0, max(half, 1))
+        u, y, uavg, yavg = run_segment(u, y, max(iters - half, 1))
 
     bound = dual_bound(p, cfg, ops, yavg, fix_lb, fix_ub)
     bound_last = dual_bound(p, cfg, ops, y, fix_lb, fix_ub)

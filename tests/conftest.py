@@ -67,12 +67,25 @@ def pytest_runtestloop(session):
     # pytest's -x stores into dest "maxfail" (value 1), not "exitfirst"
     xfirst = session.config.getoption("maxfail", default=0) == 1
     env = {**os.environ, "_RACTIP_TPU_SUITE_CHILD": "1"}
+    # the same jaxlib XLA:CPU bug occasionally HANGS a compile instead of
+    # crashing it (seen on test_contraduplex, untouched code, 40+ min at 99%
+    # CPU); bound each file and retry once in a fresh process before failing
+    file_timeout = int(os.environ.get("RACTIP_TPU_FILE_TIMEOUT", "1800"))
     failed = []
     for f in files:
         args = [sys.executable, "-m", "pytest", f, "-q"]
         if xfirst:
             args.append("-x")
-        rc = subprocess.call(args, env=env)
+        rc = None
+        for attempt in range(2):
+            try:
+                rc = subprocess.call(args, env=env, timeout=file_timeout)
+                break
+            except subprocess.TimeoutExpired:
+                print(f"\n[conftest shard] {Path(f).name} timed out after "
+                      f"{file_timeout}s (attempt {attempt + 1}); "
+                      f"{'retrying in a fresh process' if attempt == 0 else 'marking failed'}")
+                rc = 124
         if rc != 0:
             failed.append((f, rc))
             if xfirst:
