@@ -76,7 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="use the pure-duplex hybridization model")
     ap.add_argument("--contrafold", action="store_true",
                     help="use the CONTRAfold learned-CRF scoring model "
-                         "for all probability sources")
+                         "for folding/accessibility (hybridization stays "
+                         "on the cofold ensemble, matching the reference's "
+                         "latent path); with default --min-w this mode "
+                         "cannot emit external pairs -- pass --min-w 1")
+    ap.add_argument("--contraduplex", action="store_true",
+                    help="extension: score hybridization with the CRF "
+                         "DuplexEngine (the reference ships this engine "
+                         "but never calls it); implies --contrafold")
     ap.add_argument("--no-bl", action="store_true",
                     help="do not use BL parameters")
     ap.add_argument("--batch", dest="batch", action="store_true", default=True,
@@ -84,6 +91,21 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-batch", dest="batch", action="store_false")
     ap.add_argument("--chunk", type=int, default=256,
                     help="device batch chunk size")
+    ap.add_argument("--ckpt-dir", type=str, default=None, metavar="DIR",
+                    help="checkpoint directory for the batched decoy sweep; "
+                         "a killed run resumes after the last completed "
+                         "chunk")
+    ap.add_argument("--exact-gap-tol", type=float, default=1e-4,
+                    metavar="TOL",
+                    help="certified-exactness tolerance on the batched "
+                         "path: instances whose device objective trails "
+                         "the LP bound by more than TOL re-solve on the "
+                         "exact host branch-and-bound (<=0 disables, "
+                         "accepting uncertified device solutions)")
+    ap.add_argument("--mesh", dest="mesh", action="store_true", default=True,
+                    help="shard batched sweeps over all visible devices "
+                         "(default; single-device runs are unaffected)")
+    ap.add_argument("--no-mesh", dest="mesh", action="store_false")
     ap.add_argument("--timings", action="store_true",
                     help="print per-stage wall times to stderr")
     ap.add_argument("--records", type=str, default=None, metavar="PATH",
@@ -102,7 +124,8 @@ def options_from_args(args) -> Options:
         zscore=args.zscore, num_shuffling=args.num_shuffling,
         seed=args.seed, show_energy=args.show_energy,
         use_constraint=args.use_constraint, use_pf_duplex=args.duplex,
-        use_contrafold=args.contrafold)
+        use_contrafold=args.contrafold,
+        use_contraduplex=args.contraduplex)
 
 
 def _fmt_sum(parts: list[float]) -> str:
@@ -176,8 +199,9 @@ def main(argv: list[str] | None = None) -> int:
     # CONTRAfold model; silently dropping -c/--contrafold there would
     # diverge from the reference (which honors -c in z-score runs), so
     # those flags route through the exact non-batched path instead.
-    can_batch = args.batch and not opts.use_contrafold and not (
-        opts.use_constraint and (fa1.str_ or fa2.str_))
+    can_batch = (args.batch and not opts.use_contrafold
+                 and not opts.use_contraduplex and not (
+                     opts.use_constraint and (fa1.str_ or fa2.str_)))
     if args.zscore in (1, 2, 12) and args.batch and not can_batch:
         print("ractip-tpu: -c/--contrafold not supported on the batched "
               "z-score path; falling back to the sequential path",
@@ -198,8 +222,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"timings: {timer.json()}", file=sys.stderr)
 
     if args.zscore in (1, 2, 12) and can_batch:
+        # multi-device/multi-host: initialize jax.distributed when a
+        # coordinator is configured (JAX_COORDINATOR/NPROC/PROC_ID, see
+        # parallel.distributed), then shard the decoy sweep over a
+        # (pairs, replicates) scenario mesh when >1 device is visible.
+        mesh = None
+        if args.mesh:
+            import jax
+            from .parallel import init_distributed, scenario_mesh
+            init_distributed()
+            if len(jax.devices()) > 1:
+                mesh = scenario_mesh()
+        gap_tol = args.exact_gap_tol if args.exact_gap_tol > 0 else None
         z, zs, stats = batched.zscore_batch(
-            fa1, fa2, opts, params, chunk=args.chunk, timer=timer)
+            fa1, fa2, opts, params, chunk=args.chunk, mesh=mesh,
+            ckpt_dir=args.ckpt_dir, exact_gap_tol=gap_tol, timer=timer)
         r1, r2 = stats["brackets"]
         print(f">{fa1.name}\n{fa1.seq}\n{r1}")
         print(f">{fa2.name}\n{fa2.seq}\n{r2}")

@@ -378,7 +378,7 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
                   iters: int = 3000, buckets=DEFAULT_BUCKETS,
                   want_energy: bool = False,
                   ckpt_dir: str | None = None, mesh=None,
-                  exact_gap_tol: float | None = None,
+                  exact_gap_tol: float | None = 1e-4,
                   timer=None) -> BatchResult:
     """Predict joint structures for a list of (seq1, seq2) on device.
 
@@ -390,6 +390,13 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
     sharded over the mesh devices and the per-shard pipeline runs under
     shard_map -- the production multi-chip path validated by
     __graft_entry__.dryrun_multichip.
+
+    exact_gap_tol (DEFAULT 1e-4): instances whose device objective trails
+    the certified LP bound by more than this re-solve on the host
+    branch-and-bound, so every returned structure is at the certified
+    optimum -- matching the reference's always-exact glp_intopt behavior
+    (reference src/ip.cpp:112-122).  Pass None to accept the uncertified
+    device solution (faster, may miss the optimum on hard instances).
     """
     opts = opts or Options()
     cfg = opts.solver_cfg()
@@ -416,7 +423,7 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
         h = hashlib.sha256(
             repr((list(pairs), cfg, chunk, iters, buckets, want_energy,
                   opts.use_pf_duplex, opts.use_contrafold,
-                  exact_gap_tol)).encode())
+                  opts.use_contraduplex, exact_gap_tol)).encode())
         # energy tables shape the results too: a -P override (or BL* vs
         # Turner) must invalidate stored chunks, not silently resume them
         for f in dataclasses.fields(params):
@@ -441,7 +448,8 @@ def predict_batch(params: EnergyParams, pairs: list[tuple[str, str]],
 def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
                  params: EnergyParams | None = None, chunk: int = 256,
                  iters: int = 3000, buckets=DEFAULT_BUCKETS,
-                 ckpt_dir: str | None = None, mesh=None, timer=None):
+                 ckpt_dir: str | None = None, mesh=None,
+                 exact_gap_tol: float | None = 1e-4, timer=None):
     """Batched z-score (reference src/ractip.cpp:1624-1669).
 
     Returns (z, zs, stats): z over e = e1+e2+e3, zs over es = e - e1s - e2s,
@@ -456,7 +464,7 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
 
     real = predict_batch(params, [(fa1.seq, fa2.seq)], opts, chunk=1,
                          iters=iters, buckets=buckets, want_energy=True,
-                         timer=timer)
+                         exact_gap_tol=exact_gap_tol, timer=timer)
     e1, e2, e3, e1s, e2s = real.energies[0]
     e = e1 + e2 + e3
     es = e - e1s - e2s
@@ -470,7 +478,8 @@ def zscore_batch(fa1: Fasta, fa2: Fasta, opts: Options | None = None,
     decoys = list(zip(d1, d2))
     batch = predict_batch(params, decoys, opts, chunk=chunk, iters=iters,
                           buckets=buckets, want_energy=True,
-                          ckpt_dir=ckpt_dir, mesh=mesh, timer=timer)
+                          ckpt_dir=ckpt_dir, mesh=mesh,
+                          exact_gap_tol=exact_gap_tol, timer=timer)
     ee = batch.energies[:, 0] + batch.energies[:, 1] + batch.energies[:, 2]
     ees = ee - batch.energies[:, 3] - batch.energies[:, 4]
 

@@ -44,6 +44,13 @@ class Options(SolverConfig):
     use_constraint: bool = False
     use_pf_duplex: bool = False     # hidden --duplex flag: pure-duplex model
     use_contrafold: bool = False    # --contrafold: learned-CRF scoring model
+    # --contraduplex (extension): hybridization from the CRF DuplexEngine.
+    # The reference's contraduplex() call is commented out in its own driver
+    # (reference src/ractip.cpp:539-541: `//contraduplex(...); rnaduplex(...)`)
+    # so --contrafold there still scores hybridization with the cofold
+    # ensemble; this flag enables the engine the reference ships but never
+    # calls.  Implies use_contrafold semantics for bpp/accessibility.
+    use_contraduplex: bool = False
 
     def solver_cfg(self) -> SolverConfig:
         return SolverConfig(**{f.name: getattr(self, f.name)
@@ -70,22 +77,37 @@ class Posteriors:
                  max_w: int, need_acc: bool, dtype=jnp.float32,
                  use_pf_duplex: bool = False,
                  cstr1: str | None = None, cstr2: str | None = None,
-                 use_contrafold: bool = False):
+                 use_contrafold: bool = False,
+                 use_contraduplex: bool = False):
         self.n1, self.n2 = len(s1), len(s2)
         self.L1, self.L2 = bucket_length(self.n1), bucket_length(self.n2)
         S1 = jnp.asarray(encode(s1, self.L1))
         S2 = jnp.asarray(encode(s2, self.L2))
         n1, n2 = jnp.int32(self.n1), jnp.int32(self.n2)
-        if use_contrafold:
+        if use_contrafold or use_contraduplex:
             # --contrafold: learned-CRF probability source (reference
             # src/ractip.cpp:195-246 contrafold()/contraduplex(), latent
             # behind #ifdef USE_CONTRAFOLD).  Accessibility is the driver's
             # width-1 proxy up[i] = max(0, 1 - sum_j bp(i,j)) (:213-222).
-            from ..ops.contraduplex import cd_hybrid_probs
+            # NOTE on hybridization parity: the reference's own driver has
+            # the contraduplex() call commented out (:539-541) and scores
+            # hybridization with rnaduplex (cofold cross-cut posteriors,
+            # or pf_duplex under the hidden --duplex flag) even under
+            # --contrafold; only bpp/accessibility come from the CRF.  We
+            # reproduce that, and expose the shipped-but-never-called CRF
+            # DuplexEngine behind the explicit use_contraduplex flag.
             from ..ops.contrafold import cf_base_pair_probs, cf_unpaired_probs
             self.bpp1 = np.asarray(cf_base_pair_probs(S1, n1))
             self.bpp2 = np.asarray(cf_base_pair_probs(S2, n2))
-            self.hp = np.asarray(cd_hybrid_probs(S1, S2, n1, n2))
+            if use_contraduplex:
+                from ..ops.contraduplex import cd_hybrid_probs
+                self.hp = np.asarray(cd_hybrid_probs(S1, S2, n1, n2))
+            elif use_pf_duplex:
+                self.hp = np.asarray(
+                    hybrid_probs(params, S1, S2, n1, n2, dtype))
+            else:
+                self.hp = np.asarray(cofold_hybrid_probs(
+                    params, S1, S2, n1, n2, dtype))
             if need_acc:
                 w = max(1, max_w)
                 pu1 = np.zeros((self.L1, w + 1), np.float64)
@@ -172,7 +194,8 @@ def solve_pair(params: EnergyParams, fa1: Fasta, fa2: Fasta, opts: Options,
                           use_pf_duplex=opts.use_pf_duplex,
                           cstr1=fa1.str_ if opts.use_constraint else None,
                           cstr2=fa2.str_ if opts.use_constraint else None,
-                          use_contrafold=opts.use_contrafold)
+                          use_contrafold=opts.use_contrafold,
+                          use_contraduplex=opts.use_contraduplex)
     n1, n2 = post.n1, post.n2
     prob = build_problem(post.bpp1, post.bpp2, post.hp, post.pu1, post.pu2,
                          n1, n2, cfg, fa1.str_, fa2.str_)

@@ -68,11 +68,42 @@ def test_acc_max_mode():
     _check_brackets(R1INV, pred.r1)
 
 
-def test_contrafold_source():
-    # --contrafold: learned-CRF probability source (reference latent path,
-    # src/ractip.cpp:195-246); R1inv/R2inv is a strong kissing pair, so the
-    # CRF posteriors should still produce external pairs
+def test_contrafold_default_flags_faithful():
+    # --contrafold with DEFAULT flags: the reference's latent path fills
+    # accessibility with the width-1 proxy only (src/ractip.cpp:213-222,
+    # `up.resize(L, VF(1, 1.0))`), while its region loop needs widths
+    # >= min_w=5 (:621-627) -- so enable_accessibility is true but ZERO
+    # v/w regions exist, and the "each external pair is accessible" rows
+    # (:848-861) force every z to 0.  We reproduce that structural behavior
+    # faithfully: the mode predicts internal structure only unless
+    # accessibility is disabled (e.g. --min-w 1).
     pred = predict(R1INV, R2INV, Options(use_contrafold=True))
+    _check_brackets(R1INV, pred.r1)
+    _check_brackets(R2INV, pred.r2)
+    assert "[" not in pred.r1 and "]" not in pred.r2
+    assert "(" in pred.r1                # CRF internal structure still fires
+
+
+def test_contrafold_source():
+    # --contrafold --min-w 1 disables accessibility coupling (reference
+    # src/ractip.cpp:526: enable_accessibility = min_w>1 && max_w>=min_w),
+    # which is the only way the reference's latent path can emit external
+    # pairs; hybridization comes from the cofold ensemble exactly as the
+    # reference does (contraduplex() call commented out, :539-541).
+    # R1inv/R2inv is a strong kissing pair, so external pairs must appear.
+    pred = predict(R1INV, R2INV, Options(use_contrafold=True, min_w=1))
+    _check_brackets(R1INV, pred.r1)
+    _check_brackets(R2INV, pred.r2)
+    _check_pair(pred)
+    assert "[" in pred.r1
+
+
+def test_contraduplex_source():
+    # --contraduplex (extension): hybridization from the CRF DuplexEngine,
+    # the engine the reference ships but never calls (src/ractip.cpp:
+    # 539-541); needs min_w=1 for the same structural reason as above.
+    pred = predict(R1INV, R2INV,
+                   Options(use_contraduplex=True, min_w=1))
     _check_brackets(R1INV, pred.r1)
     _check_brackets(R2INV, pred.r2)
     _check_pair(pred)
