@@ -58,12 +58,26 @@ def _shift_up(v, k):
     return jnp.concatenate([v[k:], jnp.full(pad_shape, NEG, v.dtype)], axis=0)
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 5, 7))
 def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
-             eps: jnp.ndarray) -> jnp.ndarray:
+             eps: jnp.ndarray, semiring: str = "sum",
+             allow=None, emit_tables: bool = False) -> jnp.ndarray:
     """log partition function of the CONTRAfold CRF; eps is an [Lp+1, Lp+1]
-    perturbation added to every ScoreBasePair(a, b) (1-based)."""
+    perturbation added to every ScoreBasePair(a, b) (1-based).
+
+    semiring="sum" computes log Z (inside algorithm); semiring="max" computes
+    the Viterbi score (reference InferenceEngine.ipp:2519 ComputeViterbi --
+    same recurrences in the max-plus semiring).  allow (optional [Lp, Lp]
+    bool, 0-based) restricts the ensemble to structures whose pairs satisfy
+    allow[i, j] -- the engine's constraint mask (reference
+    InferenceEngine.ipp:1870 UseConstraints / allow_paired)."""
     dtype = eps.dtype
+    if semiring == "max":
+        lse2 = jnp.maximum
+        lsev = lambda x, axis=None: jnp.max(x, axis=axis)
+    else:
+        lse2 = jnp.logaddexp
+        lsev = jax.nn.logsumexp
     tb = jax.tree.map(lambda a: jnp.asarray(a, dtype)
                       if jnp.issubdtype(a.dtype, jnp.floating) else a, tables)
     # 1-based sequence with sentinel 0 at both ends; 31 leading pads so q = j-d
@@ -85,6 +99,11 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
     pairable = tb.compl[s0[:, None], s0[None, :]] \
         & (idx[:, None] >= 1) & (idx[None, :] <= n) \
         & (idx[:, None] < idx[None, :])
+    if allow is not None:
+        # allow is 0-based [Lp, Lp]; positions here are 1-based 0..Lp
+        al = jnp.zeros((L1, L1), bool).at[1:, 1:].set(
+            jnp.asarray(allow, bool)[: L1 - 1, : L1 - 1])
+        pairable = pairable & (al | al.T)
 
     # unpaired-run prefix operator: R[i,k] = (k-i)*b for k >= i
     D = idx[None, :] - idx[:, None]
@@ -118,14 +137,14 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
                         + bp_col, NEG)
 
         # ---- FM1 / FM2 / FMT / FM ------------------------------------------
-        fm1 = jax.nn.logsumexp(R + fmh[None, :], axis=1)
-        fm2 = jax.nn.logsumexp(FMmat + fmh[None, :], axis=1)
+        fm1 = lsev(R + fmh[None, :], axis=1)
+        fm2 = lsev(FMmat + fmh[None, :], axis=1)
         bj = jnp.where(j <= n, b_mul, 0.0)
-        FMT_new = _logaddexp(fm2, FMT + bj)
+        FMT_new = lse2(fm2, FMT + bj)
         FMprev = jax.lax.dynamic_slice(
             FMmat, (0, jnp.maximum(j - 1, 0)), (L1, 1))[:, 0]
         FMprev = jnp.where(j >= 1, FMprev, NEG)
-        fm = _logaddexp(fm1, _logaddexp(FMprev + bj, fm2))
+        fm = lse2(fm1, lse2(FMprev + bj, fm2))
 
         # ---- FC column: pair (i, j+1) --------------------------------------
         jb_ij = tb.closing[s0, sjp1] + tb.tm[s0, sjp1, sp1, sj]
@@ -174,8 +193,7 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
                 y = y.at[:, 0].add(b1x0)
                 y = y.at[:, 1].add(i1x1)
             terms.append(y)
-        single = jb_ij + jax.nn.logsumexp(
-            jnp.concatenate(terms, axis=1), axis=1)
+        single = jb_ij + lsev(jnp.concatenate(terms, axis=1), axis=1)
 
         ja_ij = (tb.closing[s0, sjp1] + tb.dangle_l[s0, sjp1, sp1]
                  + tb.dangle_r[s0, sjp1, sj])
@@ -183,40 +201,50 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
 
         fc = jnp.where(
             okFC,
-            _logaddexp(_logaddexp(hairpin, stk), _logaddexp(single, multi)),
+            lse2(lse2(hairpin, stk), lse2(single, multi)),
             NEG)
 
         # ---- F5 --------------------------------------------------------------
         extcol = fmh - tb.multi_paired + tb.ext_paired
         F5prev = jnp.where(j >= 1, F5[jnp.maximum(j - 1, 0)], 0.0)
-        f5j = _logaddexp(F5prev + b_ext[jnp.minimum(j, Lp)],
-                         jax.nn.logsumexp(F5 + extcol))
+        f5j = lse2(F5prev + b_ext[jnp.minimum(j, Lp)],
+                   lsev(F5 + extcol))
         F5 = F5.at[j].set(f5j)
 
         FCwin = jnp.concatenate([fc[:, None], FCwin[:, :-1]], axis=1)
         FMmat = jax.lax.dynamic_update_slice(FMmat, fm[:, None], (0, j))
-        return (FCwin, FMmat, FMT_new, F5), None
+        ys = (fc, FMT_new) if emit_tables else None
+        return (FCwin, FMmat, FMT_new, F5), ys
 
     FCwin0 = jnp.full((L1, W), NEG, dtype)
     FMmat0 = jnp.full((L1, L1), NEG, dtype)
     FMT0 = jnp.full((L1,), NEG, dtype)
     F50 = jnp.concatenate([jnp.zeros((1,), dtype),
                            jnp.full((Lp,), NEG, dtype)])
-    (_, _, _, F5), _ = jax.lax.scan(
+    (_, FMmat, _, F5), ys = jax.lax.scan(
         column, (FCwin0, FMmat0, FMT0, F50), jnp.arange(1, Lp + 1))
+    if emit_tables:
+        # FCstack[j-1] = fc column of step j (pairs (i, j+1));
+        # FMTstack[j-1] = FMT column after step j
+        return F5, ys[0], FMmat, ys[1]
     return F5[Lp]
 
 
-def cf_logz(S, n, model: str = "complementary", dtype=jnp.float64):
-    """log Z of the CONTRAfold ensemble for encoded sequence S (padded, [Lp])."""
+def cf_logz(S, n, model: str = "complementary", dtype=jnp.float64,
+            allow=None):
+    """log Z of the CONTRAfold ensemble for encoded sequence S (padded, [Lp]).
+
+    allow (optional [Lp, Lp] bool) is the engine's constraint mask
+    (reference InferenceEngine.ipp:1870 UseConstraints)."""
     Lp = S.shape[0]
     tables = get_cf_tables(model)
     eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
-    return _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32), Lp, eps)
+    return _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32), Lp,
+                    eps, "sum", allow)
 
 
 def cf_base_pair_probs(S, n, model: str = "complementary",
-                       dtype=jnp.float64) -> jnp.ndarray:
+                       dtype=jnp.float64, allow=None) -> jnp.ndarray:
     """[Lp, Lp] posterior P(i pairs j) (0-based, upper+lower symmetric zeroed
     to upper triangle like the reference's triangular bp export).
 
@@ -228,7 +256,8 @@ def cf_base_pair_probs(S, n, model: str = "complementary",
     tables = get_cf_tables(model)
     eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
     g = jax.grad(lambda e: _cf_logz(tables, jnp.asarray(S),
-                                    jnp.asarray(n, jnp.int32), Lp, e))(eps)
+                                    jnp.asarray(n, jnp.int32), Lp, e,
+                                    "sum", allow))(eps)
     return g[1:, 1:]
 
 
@@ -237,3 +266,292 @@ def cf_unpaired_probs(bpp: jnp.ndarray) -> jnp.ndarray:
     proxy under the CONTRAfold engine (reference src/ractip.cpp:213-222)."""
     tot = jnp.sum(bpp, axis=0) + jnp.sum(bpp, axis=1)
     return jnp.maximum(0.0, 1.0 - tot)
+
+
+# --------------------------------------------------------------------------
+# decoding: Viterbi / MEA / stochastic traceback
+# (the latent reference engine surface: InferenceEngine.ipp ComputeViterbi
+# :2519 + PredictPairingsViterbi :3023, PredictPairingsPosterior MEA
+# :4837-5010, PredictPairingsStochasticTraceback :5012-5256)
+# --------------------------------------------------------------------------
+
+
+def cf_viterbi(S, n, model: str = "complementary", dtype=jnp.float64,
+               allow=None):
+    """(score, pairing) of the maximum-scoring structure.
+
+    TPU-native traceback: the max-plus score is the zero-temperature logZ,
+    and its gradient w.r.t. the ScoreBasePair perturbation eps is the
+    indicator of the argmax structure's pairs (subgradient through max picks
+    the winning monomial), so no backpointer storage is needed -- the
+    reference's explicit traceback (InferenceEngine.ipp:3023) becomes one
+    reverse-mode pass.  Returns (viterbi score, mapping [Lp] with partner
+    index or -1, 0-based).
+    """
+    Lp = S.shape[0]
+    tables = get_cf_tables(model)
+    eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
+    score, g = jax.value_and_grad(
+        lambda e: _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32),
+                           Lp, e, "max", allow))(eps)
+    ind = g[1:, 1:]                 # 0-based pair indicators
+    # ties in max split gradient mass; threshold at 1/2 keeps one structure's
+    # worth of pairs (exact 0/1 for a unique optimum)
+    mapping = -jnp.ones((Lp,), jnp.int32)
+    ii, jj = jnp.nonzero(ind > 0.5, size=Lp, fill_value=-1)
+    ii, jj = ii.astype(jnp.int32), jj.astype(jnp.int32)
+    mapping = mapping.at[jnp.where(ii >= 0, ii, Lp)].set(jj, mode="drop")
+    mapping = mapping.at[jnp.where(jj >= 0, jj, Lp)].set(ii, mode="drop")
+    return score, mapping
+
+
+def cf_stochastic_traceback(S, n, num_samples: int = 1,
+                            model: str = "complementary", seed: int = 0,
+                            dtype=jnp.float64, allow=None):
+    """Exact samples from the CRF structure distribution (reference
+    InferenceEngine.ipp:5012 PredictPairingsStochasticTraceback).
+
+    TPU-native split: the inside scan runs once on-device emitting the
+    F5/FC/FM/FMT tables; the O(n^2)-per-sample recursive case-sampling then
+    runs host-side in numpy over this module's last-helix decomposition
+    (which spans the same ensemble as the reference's FM2 recursion).
+    Returns a list of num_samples mappings ([n] partner index or -1,
+    0-based)."""
+    import numpy as np
+    Lp = S.shape[0]
+    tables = get_cf_tables(model)
+    eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
+    F5, FCs, FM, FMTs = _cf_logz(tables, jnp.asarray(S),
+                                 jnp.asarray(n, jnp.int32), Lp, eps, "sum",
+                                 allow, True)
+    F5 = np.asarray(F5)
+    FCs = np.asarray(FCs)          # FCs[m-1][a] = FC for pair (a, m+1)
+    FM = np.asarray(FM)            # FM[i][k]
+    FMTs = np.asarray(FMTs)        # FMTs[j-1][k]
+    n = int(n)
+
+    tb = jax.tree.map(np.asarray, tables)
+    s = np.zeros((Lp + 2,), np.int64)
+    s[1:Lp + 1] = np.asarray(S)
+    al = None
+    if allow is not None:
+        al = np.asarray(allow, bool)
+        al = al | al.T
+    idx = np.arange(Lp + 1)
+    b_mul = float(tb.multi_unpaired)
+
+    def b_ext(j):
+        return float(tb.ext_unpaired) if 1 <= j <= n else 0.0
+
+    def pairable(a, b):
+        if not (1 <= a < b <= n and bool(tb.compl[s[a], s[b]])):
+            return False
+        return al is None or bool(al[a - 1, b - 1])
+
+    def FCv(i, jp):
+        return FCs[jp - 2][i] if jp >= 2 else NEG
+
+    def fmh(j):
+        """fmh_j[k]: last helix (k+1, j) of a multiloop segment."""
+        out = np.full((Lp + 1,), NEG)
+        for k in range(0, j - 1):
+            if pairable(k + 1, j):
+                inner = FCv(k + 1, j)
+                ja = (tb.closing[s[j], s[k + 1]]
+                      + tb.dangle_l[s[j], s[k + 1], s[j + 1]]
+                      + tb.dangle_r[s[j], s[k + 1], s[k]])
+                out[k] = inner + ja + tb.multi_paired + tb.bp[s[k + 1], s[j]]
+        return out
+
+    rng = np.random.default_rng(seed)
+
+    def choose(logw, ref):
+        w = np.exp(np.asarray(logw) - ref)
+        w = np.where(np.isfinite(w), w, 0.0)
+        t = w.sum()
+        assert t > 0.5, (t, ref)
+        return int(rng.choice(len(w), p=w / t))
+
+    def sample_F5(j, pairs):
+        while j > 0:
+            fm_ = fmh(j)
+            ext = fm_ - tb.multi_paired + tb.ext_paired
+            logw = np.concatenate([[F5[j - 1] + b_ext(j)], F5 + ext])
+            c = choose(logw, F5[j])
+            if c == 0:
+                j -= 1
+                continue
+            k = c - 1
+            pairs.append((k + 1, j))
+            sample_FC(k + 1, j, pairs)
+            j = k
+
+    def sample_FC(i, jp, pairs):
+        m = jp - 1
+        span = m - i
+        cases, logw = [], []
+        jb = (tb.closing[s[i], s[m + 1]]
+              + tb.tm[s[i], s[m + 1], s[i + 1], s[m]])
+        if span >= 3:
+            cases.append(("hp",))
+            logw.append(tb.hairpin_len[min(span, 30)] + jb)
+        if pairable(i + 1, m) and i + 2 <= m:
+            cases.append(("stk",))
+            logw.append(FCv(i + 1, m) + tb.bp[s[i + 1], s[m]]
+                        + tb.stack[s[i], s[m + 1], s[i + 1], s[m]])
+        for l1 in range(W):
+            a = i + l1 + 1
+            if a > Lp:
+                break
+            for d in range(W):
+                if d > MAXLOOP - l1 or (l1 == 0 and d == 0):
+                    continue
+                q = m - d
+                if not (q >= 1 and a + 1 <= q and pairable(a, q)):
+                    continue
+                v = (FCv(a, q) + tb.bp[s[a], s[q]] + tb.closing[s[q], s[a]]
+                     + tb.tm[s[q], s[a], s[q + 1], s[a - 1]]
+                     + tb.single[l1][d] + jb)
+                if l1 == 0 and d == 1:
+                    v += tb.bulge0x1[s[m]]
+                elif l1 == 1 and d == 0:
+                    v += tb.bulge0x1[s[i + 1]]
+                elif l1 == 1 and d == 1:
+                    v += tb.int1x1[s[i + 1], s[m]]
+                cases.append(("sng", a, q))
+                logw.append(v)
+        ja = (tb.closing[s[i], s[m + 1]]
+              + tb.dangle_l[s[i], s[m + 1], s[i + 1]]
+              + tb.dangle_r[s[i], s[m + 1], s[m]])
+        cases.append(("mul",))
+        logw.append(FMTs[m - 1][i] + ja + tb.multi_paired + tb.multi_base
+                    if m >= 1 else NEG)
+        c = cases[choose(logw, FCv(i, jp))]
+        if c[0] == "stk":
+            pairs.append((i + 1, m))
+            sample_FC(i + 1, m, pairs)
+        elif c[0] == "sng":
+            pairs.append((c[1], c[2]))
+            sample_FC(c[1], c[2], pairs)
+        elif c[0] == "mul":
+            sample_FMT(i, m, pairs)
+
+    def last_helix(start_of, j, ref, pairs):
+        """Split off the last helix (kk+1, j) of a >=2-branch segment."""
+        fm_ = fmh(j)
+        logw = start_of + fm_
+        kk = choose(logw, ref)
+        pairs.append((kk + 1, j))
+        sample_FC(kk + 1, j, pairs)
+        return kk
+
+    def sample_FMT(k, j, pairs):
+        while True:
+            fm2 = _np_lse(FM[k] + fmh(j))
+            prev = FMTs[j - 2][k] + (b_mul if j <= n else 0.0) \
+                if j >= 2 else NEG
+            c = choose([fm2, prev], FMTs[j - 1][k])
+            if c == 1:
+                j -= 1
+                continue
+            kk = last_helix(FM[k], j, fm2, pairs)
+            sample_FM(k, kk, pairs)
+            return
+
+    def sample_FM(i, k, pairs):
+        while True:
+            fm_ = fmh(k)
+            R = np.where(idx >= i, (idx - i) * b_mul, NEG)
+            fm1 = _np_lse(R + fm_)
+            fm2 = _np_lse(FM[i] + fm_)
+            prev = FM[i][k - 1] + (b_mul if k <= n else 0.0) if k >= 1 else NEG
+            c = choose([fm1, prev, fm2], FM[i][k])
+            if c == 1:
+                k -= 1
+                continue
+            if c == 0:
+                kk = choose(R + fm_, fm1)
+                pairs.append((kk + 1, k))
+                sample_FC(kk + 1, k, pairs)
+                return
+            kk = last_helix(FM[i], k, fm2, pairs)
+            k = kk
+
+    out = []
+    for _ in range(num_samples):
+        pairs = []
+        sample_F5(n, pairs)
+        mp = -np.ones((n,), np.int64)
+        for a, b in pairs:
+            mp[a - 1], mp[b - 1] = b - 1, a - 1
+        out.append(mp)
+    return out
+
+
+def _np_lse(v):
+    import numpy as np
+    m = np.max(v)
+    if not np.isfinite(m):
+        return NEG
+    return float(m + np.log(np.exp(v - m).sum()))
+
+
+def cf_mea(bpp, n: int, gamma: float = 6.0):
+    """Maximum-expected-accuracy decode (reference
+    InferenceEngine.ipp:4837-5010 PredictPairingsPosterior): maximize
+    sum_unpaired q_i + 2*gamma * sum_pairs p_ij with q_i = 1 - sum_j p_ij
+    via the Nussinov-style DP.  Host numpy (O(n^3) vectorized over the span
+    diagonal); returns mapping [n] with partner index or -1 (0-based)."""
+    import numpy as np
+    p = np.asarray(bpp, np.float64)[:n, :n]
+    p = p + p.T
+    q = np.maximum(0.0, 1.0 - p.sum(axis=1))
+    M = np.full((n, n), 0.0)
+    for i in range(n):
+        M[i, i] = q[i]
+    # pairscore[i, j] used when i pairs j
+    ps = 2.0 * gamma * np.asarray(bpp, np.float64)[:n, :n]
+    for s in range(1, n):
+        i = np.arange(0, n - s)
+        j = i + s
+        best = M[i + 1, j] + q[i]                    # i unpaired
+        np.maximum(best, M[i, j - 1] + q[j], out=best)   # j unpaired
+        pair = ps[i, j].copy()
+        if s >= 2:
+            pair += M[i + 1, j - 1]
+        np.maximum(best, pair, out=best)
+        # bifurcation: max_k M[i,k] + M[k+1,j]
+        for off in range(s):
+            k = i + off
+            np.maximum(best, M[i, k] + M[k + 1, j], out=best)
+        M[i, j] = best
+    # traceback
+    mapping = -np.ones((n,), np.int64)
+    stack = [(0, n - 1)]
+    tol = 1e-9
+    while stack:
+        i, j = stack.pop()
+        if i >= j:
+            continue
+        v = M[i, j]
+        if abs(v - (M[i + 1, j] + q[i])) < tol:
+            stack.append((i + 1, j))
+            continue
+        if abs(v - (M[i, j - 1] + q[j])) < tol:
+            stack.append((i, j - 1))
+            continue
+        inner = M[i + 1, j - 1] if j - i >= 2 else 0.0
+        if abs(v - (ps[i, j] + inner)) < tol:
+            mapping[i], mapping[j] = j, i
+            stack.append((i + 1, j - 1))
+            continue
+        done = False
+        for k in range(i, j):
+            if abs(v - (M[i, k] + M[k + 1, j])) < tol:
+                stack.append((i, k))
+                stack.append((k + 1, j))
+                done = True
+                break
+        if not done:            # numerical fallback: treat i unpaired
+            stack.append((i + 1, j))
+    return mapping

@@ -9,6 +9,7 @@ multi/external scalars :55-205).  logZ and posterior pair marginals from the
 scan-based engine must match enumeration exactly (f64).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -193,3 +194,115 @@ def test_cf_padding_invariance():
     a = float(cf_logz(encode(seq, 12), len(seq)))
     b = float(cf_logz(encode(seq, 20), len(seq)))
     assert a == pytest.approx(b, abs=1e-9)
+
+
+@pytest.mark.parametrize("seq", SEQS)
+def test_cf_viterbi_vs_enumeration(seq):
+    """Max-semiring scan + gradient traceback == brute-force argmax
+    (reference InferenceEngine.ipp:2519 ComputeViterbi, :3023 traceback)."""
+    from ractip_tpu.ops.contrafold import cf_viterbi
+    tb = np_tables()
+    n = len(seq)
+    best = max(score_structure(tb, seq, pairs)
+               for pairs in enum_structures(seq)
+               if score_structure(tb, seq, pairs) is not None)
+    S = encode(seq, n + 3)
+    score, mapping = cf_viterbi(S, n)
+    assert float(score) == pytest.approx(best, abs=1e-8), seq
+    # decoded structure is well-formed, scores exactly the optimum
+    mp = np.asarray(mapping)
+    pairs = sorted((i + 1, int(mp[i]) + 1) for i in range(n)
+                   if 0 <= mp[i] and i < mp[i])
+    for i, m in enumerate(mp[:n]):
+        if m >= 0:
+            assert mp[m] == i
+    sc = score_structure(tb, seq, pairs)
+    assert sc is not None and sc == pytest.approx(best, abs=1e-8)
+
+
+def test_cf_viterbi_constraints():
+    """allow mask (UseConstraints equivalent) excludes banned pairs from both
+    Viterbi and the posterior ensemble."""
+    from ractip_tpu.ops.contrafold import cf_viterbi
+    seq = "GGGGAAAACCCC"
+    n = len(seq)
+    S = encode(seq, n)
+    _, mp0 = cf_viterbi(S, n)
+    mp0 = np.asarray(mp0)
+    # ban every pair used by the unconstrained optimum
+    allow = np.ones((n, n), bool)
+    for i in range(n):
+        if mp0[i] >= 0 and i < mp0[i]:
+            allow[i, mp0[i]] = allow[mp0[i], i] = False
+    sc1, mp1 = cf_viterbi(S, n, allow=jnp.asarray(allow))
+    mp1 = np.asarray(mp1)
+    for i in range(n):
+        if mp1[i] >= 0 and i < mp1[i]:
+            assert allow[i, mp1[i]]
+    # constrained logZ < unconstrained logZ
+    lz0 = float(cf_logz(S, n))
+    lz1 = float(cf_logz(S, n, allow=jnp.asarray(allow)))
+    assert lz1 < lz0
+    # oracle check: constrained logZ == enumeration over allowed structures
+    tb = np_tables()
+    scores = [score_structure(tb, seq, pairs)
+              for pairs in enum_structures(seq)
+              if all(allow[a - 1, b - 1] for a, b in pairs)]
+    scores = np.array([s for s in scores if s is not None])
+    m = scores.max()
+    assert lz1 == pytest.approx(float(np.log(np.exp(scores - m).sum()) + m),
+                                abs=1e-8)
+
+
+@pytest.mark.parametrize("seq", SEQS[:2])
+def test_cf_mea_vs_bruteforce(seq):
+    """MEA decode maximizes the expected-accuracy objective over structures
+    (reference InferenceEngine.ipp:4837 PredictPairingsPosterior)."""
+    from ractip_tpu.ops.contrafold import cf_mea
+    n = len(seq)
+    gamma = 6.0
+    S = encode(seq, n)
+    bpp = np.asarray(cf_base_pair_probs(S, n))
+    p = bpp + bpp.T
+    q = np.maximum(0.0, 1.0 - p.sum(axis=1))
+
+    def obj(pairs):
+        used = set()
+        v = 0.0
+        for a, b in pairs:
+            v += 2.0 * gamma * bpp[a - 1, b - 1]
+            used.update((a - 1, b - 1))
+        v += sum(q[i] for i in range(n) if i not in used)
+        return v
+
+    best = max(obj(pairs) for pairs in enum_structures(seq))
+    mp = cf_mea(bpp, n, gamma)
+    pairs = sorted((i + 1, int(mp[i]) + 1) for i in range(n)
+                   if 0 <= mp[i] and i < mp[i])
+    got = obj(pairs)
+    # MEA's DP searches ALL non-crossing pairings (not only complementary
+    # enumerated ones), so its optimum can only be >= the enumerated best
+    assert got >= best - 1e-9
+
+
+def test_cf_stochastic_traceback_matches_posterior():
+    """Empirical pair frequencies from exact CRF samples converge to the
+    posterior bpp (reference InferenceEngine.ipp:5012)."""
+    from ractip_tpu.ops.contrafold import cf_stochastic_traceback
+    seq = "GGCGAAAACGUCC"
+    n = len(seq)
+    S = encode(seq, n)
+    bpp = np.asarray(cf_base_pair_probs(S, n))
+    N = 3000
+    samples = cf_stochastic_traceback(S, n, num_samples=N, seed=42)
+    freq = np.zeros((n, n))
+    for mp in samples:
+        for i in range(n):
+            if mp[i] >= 0 and i < mp[i]:
+                freq[i, mp[i]] += 1.0 / N
+        # sampled structures are well-formed
+        for i in range(n):
+            if mp[i] >= 0:
+                assert mp[mp[i]] == i
+    # 3-sigma binomial tolerance at p~0.5 / N=3000 is ~0.027
+    assert np.abs(freq - bpp[:n, :n]).max() < 0.04

@@ -66,3 +66,69 @@ for i, j in sorted(gi1 - oi1):
     print(f"  s1 internal ({i:2d},{j:2d})  bpp={post.bpp1[i, j]:.4f}")
 for i, j in sorted(gex - oex):
     print(f"  external    ({i:2d},{j:2d})  hp ={post.hp[i, j]:.4f}")
+
+# ---------------------------------------------------------------------------
+# Homodimer-symmetry hypothesis test (round-3 leading hypothesis).
+#
+# An RNAcofold-style homodimer symmetry correction reweights the joint
+# ensemble as w'(s) = w(s)/2 for strand-exchange-SYMMETRIC structures s and
+# w'(s) = w(s) otherwise.  For ANY event E (e.g. "pair (i,j') is present"),
+# every term of odds'(E) = sum_{s in E} w'(s) / sum_{s notin E} w'(s) lies
+# within a factor 2 of the uncorrected term, so
+#
+#     odds(E)/2  <=  odds'(E)  <=  2*odds(E).
+#
+# The correction can therefore move a posterior p to at most
+# p' in [p/(2-p), 2p/(1+p)] -- an ODDS shift of at most 2x, independent of
+# the (hard-to-compute) symmetric partition function Z_sym.  We bound below
+# whether ANY such reweighting can flip the ILP preference to the golden
+# structure.  (Internal bpp1/bpp2 come from single-strand pf_fold and carry
+# no correction; only hp changes.)
+# ---------------------------------------------------------------------------
+print("\n=== homodimer-symmetry hypothesis bound ===")
+ours_obj = objective(r1, r2)
+gold_obj = objective(GOLD1, GOLD2)
+
+
+def objective_sym_worst(r1s, r2s):
+    """Objective under the most adversarial symmetry correction: every hp
+    entry of THIS structure at its lower bound p/(2-p), i.e. all structures
+    carrying the pair symmetric, all others asymmetric."""
+    i1, i2, ex = pairs_of(r1s, r2s)
+    o = sum(post.bpp1[i, j] - opts.th_ss for i, j in i1)
+    o += sum(post.bpp2[i, j] - opts.th_ss for i, j in i2)
+    for i, j in ex:
+        p = post.hp[i, j]
+        o += opts.alpha * (p / (2.0 - p) - opts.th_hy)
+    return o
+
+
+def objective_sym_best(r1s, r2s):
+    """Objective with every hp entry at its UPPER bound 2p/(1+p)."""
+    i1, i2, ex = pairs_of(r1s, r2s)
+    o = sum(post.bpp1[i, j] - opts.th_ss for i, j in i1)
+    o += sum(post.bpp2[i, j] - opts.th_ss for i, j in i2)
+    for i, j in ex:
+        p = post.hp[i, j]
+        o += opts.alpha * (2.0 * p / (1.0 + p) - opts.th_hy)
+    return o
+
+
+ours_lo = objective_sym_worst(r1, r2)       # ours penalized maximally
+gold_hi = objective_sym_best(GOLD1, GOLD2)  # golden boosted maximally
+print(f"uncorrected objective: ours={ours_obj:.4f}  golden={gold_obj:.4f}")
+print(f"extreme correction   : ours>={ours_lo:.4f}  golden<={gold_hi:.4f}")
+if ours_lo > gold_hi:
+    print("DISPROVEN: even the most adversarial symmetry reweighting leaves")
+    print("our structure strictly preferred -- a /2 symmetric-weight")
+    print("correction shifts posterior odds by at most 2x, but flipping DIS")
+    needed = {(i, j): post.hp[i, j] for (i, j) in sorted(oex - gex)}
+    for (i, j), p in needed.items():
+        print(f"  hp({i},{j}) = {p:.4f} would need to drop below ~0.76 "
+              f"(odds shift ~{(p / (1 - p)) / (0.76 / 0.24):.0f}x, i.e. "
+              f"dG shift >= {0.6163 * np.log((p / (1 - p)) / (0.76 / 0.24)):.2f} kcal/mol)")
+    print("  -> the reference/our difference is a >=2 kcal/mol effect in the")
+    print("     cross-cut ensemble model, not a symmetry factor.")
+else:
+    print("NOT disproven: a symmetry correction of the right size could flip "
+          "the preference; implement Z_sym to decide.")
