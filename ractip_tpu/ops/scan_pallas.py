@@ -297,6 +297,12 @@ def _q2_kernel(qbe, sig, n, q2_o, q2S, *, L: int, B: int):
 
 def q2_pallas(qbe, sig, n, L: int, B: int, b_blk: int = 8,
               interpret: bool = False):
+    if b_blk < 8 and B > b_blk:
+        # Mosaic block-shape rule: see _chunk_batch
+        return jnp.concatenate(
+            [q2_pallas(qbe[s:s + b_blk], sig[s:s + b_blk], n[s:s + b_blk],
+                       L, b_blk, b_blk, interpret)
+             for s in range(0, B, b_blk)], axis=0)
     nb = B // b_blk
     return pl.pallas_call(
         functools.partial(_q2_kernel, L=L, B=b_blk),
@@ -460,6 +466,360 @@ def outside_pallas(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k, bulge_k,
 
 
 # --------------------------------------------------------------------------
+# streamed-state kernels (long sequences, L > 256)
+#
+# Same recurrences as the kernels above, with two changes that lift the VMEM
+# cap (SURVEY.md par.5 long-sequence bullet; the "streamed-state kernel
+# variant" named by batch_fold's former L<=256 error):
+#   1. every [B, L, L] output leaves the core as a per-column stream
+#      (BlockSpec (1, b_blk, L)) instead of a VMEM-resident dual-layout
+#      block -- natural layouts are restored by ONE XLA transpose outside;
+#   2. the O(L) per-column contractions against the resident qm/om scratch
+#      run as fori_loop chunks with dynamic leading-dim scratch slices and a
+#      lane-rotation (pltpu.roll) to extract the running scalar, instead of
+#      an L-deep static unroll (whose compile time is quadratic-ish in L and
+#      prohibitive past ~256).
+# Only the residual (L, b_blk, L) scratch remains resident, so b_blk scales
+# down with L (8 at 384nt, 1 at 1024nt) instead of hitting a hard wall.
+# --------------------------------------------------------------------------
+
+_CH = 8                                       # contraction chunk (leading dim)
+
+
+def _roll_left1(v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate lanes left by one: out[..., i] = v[..., (i+1) % L].
+
+    pltpu.roll only accepts non-negative shifts (which rotate RIGHT), so a
+    left rotation by 1 is a right rotation by L-1."""
+    return pltpu.roll(v, v.shape[-1] - 1, v.ndim - 1)
+
+
+def _contract_scan(ref, v, L: int, B: int):
+    """acc[b, i] = sum_l ref[l, b, i] * v[b, l] via chunked fori_loop.
+
+    ref: VMEM scratch/input (L, B, L); v: [B, L] with l on LANES.  Rolls v
+    left one lane per step so the current scalar is always lane 0."""
+
+    def chunk(c, carry):
+        acc, vr = carry
+        blk = ref[pl.ds(c * _CH, _CH)]
+        for cc in range(_CH):
+            acc = acc + blk[cc] * vr[:, 0:1]
+            vr = _roll_left1(vr)
+        return acc, vr
+
+    acc, _ = jax.lax.fori_loop(
+        0, L // _CH, chunk, (jnp.zeros((B, L), F32), v))
+    return acc
+
+
+def _scatter_rank1_scan(ref, u1, w1, u2, w2, L: int, B: int):
+    """ref[m] += u1 * w1[:, m] + u2 * w2[:, m] for all m (chunked)."""
+
+    def chunk(c, carry):
+        w1r, w2r = carry
+        base = c * _CH
+        blk = ref[pl.ds(base, _CH)]
+        rows = []
+        for cc in range(_CH):
+            rows.append(blk[cc] + u1 * w1r[:, 0:1] + u2 * w2r[:, 0:1])
+            w1r = _roll_left1(w1r)
+            w2r = _roll_left1(w2r)
+        ref[pl.ds(base, _CH)] = jnp.concatenate(
+            [r[None] for r in rows], axis=0)
+        return w1r, w2r
+
+    jax.lax.fori_loop(0, L // _CH, chunk, (w1, w2))
+
+
+def _inside_kernel_streamed(
+        fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
+        fmb, fmc, fe,                           # factor column refs (1, B, L)
+        w2k, bulge_k, sig, pows,
+        qm1c_o, qb_o, qm_o, qm2_o,              # column streams (1, B, L)
+        q1_o,                                   # resident (B, L)
+        qmS, Qb, Mb, Ab, qm1P, q1S,             # scratch
+        *, L: int, B: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        qmS[...] = jnp.zeros_like(qmS)
+        Qb[...] = jnp.zeros_like(Qb)
+        Mb[...] = jnp.zeros_like(Mb)
+        Ab[...] = jnp.zeros_like(Ab)
+        qm1P[...] = jnp.zeros_like(qm1P)
+        q1S[...] = jnp.zeros_like(q1S)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]
+    sm = pows[:, 0:1]
+
+    X = [Qb[b] * Mb[b] for b in range(W)]
+    A = [Qb[b] * Ab[b] for b in range(W)]
+
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(u1, W - 1):
+            t = X[b] * _at(w2k, u1, W - 1 - b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + _lup(acc, u1 + 1)
+    gen = gen * col(mout)
+
+    acol = A[W - 1]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * _lup(acol, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(0, W - 2):
+        b3 = b3 + A[b] * bulge_k[:, W - 1 - b:W - b]
+    bulges = col(tau) * (b5 + _lup(b3, 1))
+
+    # multiloop closing: qm2col[i] = sum_l qmS[l, :, i] * qm1_prev[:, l+1]
+    qm2col = _clamp(_contract_scan(qmS, _lup(qm1P[...], 1), L, B))
+
+    qbcol = (col(fhn) + gen + bulges
+             + col(pstk) * _lup(Qb[W - 1], 1)
+             + col(p11) * _lup(Qb[W - 2], 2)
+             + col(p21a) * _lup(Qb[W - 3], 2)
+             + col(p21b) * _lup(Qb[W - 2], 3)
+             + col(p22) * _lup(Qb[W - 3], 3)
+             + col(pb15) * _lup(Qb[W - 1], 2)
+             + col(pb13) * _lup(Qb[W - 2], 1)
+             + col(fmc) * sg * sg * _lup(qm2col, 1))
+    qbcol = _clamp(qbcol)
+
+    qm1col = _clamp(sm * qm1P[...] + qbcol * col(fmb))
+    ml2 = _contract_scan(qmS, _lup(qm1col, 1), L, B)
+    qmcol = _clamp(_suffix_scan(qm1col, pows, L) + ml2)
+
+    lane = _lane_iota((B, L))
+    q1_prev = jnp.sum(jnp.where(lane == j - 1, q1S[...], 0.0), axis=1,
+                      keepdims=True)
+    q1_prev = jnp.where(j >= 1, q1_prev, 1.0)
+    q1pad = jnp.where(lane == 0, 1.0, _ldn(q1S[...], 1))
+    q1val = _clamp(sg * q1_prev
+                   + jnp.sum(q1pad * qbcol * col(fe), axis=1, keepdims=True))
+    q1S[...] = jnp.where(lane == j, q1val, q1S[...])
+
+    qmS[j] = qmcol
+    Qb[...] = jnp.concatenate([Qb[1:], qbcol[None]], axis=0)
+    Mb[...] = jnp.concatenate([Mb[1:], col(minn)[None]], axis=0)
+    Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
+    qm1P[...] = qm1col
+
+    qm1c_o[0] = qm1col
+    qb_o[0] = qbcol
+    qm_o[0] = qmcol
+    qm2_o[0] = qm2col                # stream block index = max(j-1, 0)
+    q1_o[...] = q1S[...]
+
+
+def _chunk_batch(call_one, b_blk: int, B: int, cbl_ins, row_ins, n_cbl_outs):
+    """Mosaic requires a block's second-to-last dim to be a multiple of 8 OR
+    the full array dim.  When the VMEM budget forces b_blk < 8, slice the
+    batch into b_blk-sized chunks and run one pallas_call per chunk (inside
+    each call the block batch dim == the full batch dim, which is legal);
+    outputs are concatenated back.  cbl_ins have batch on axis 1, row_ins on
+    axis 0; the first n_cbl_outs outputs are (L, B, L), the rest (B, ...)."""
+    outs = []
+    for s in range(0, B, b_blk):
+        outs.append(call_one(
+            tuple(a[:, s:s + b_blk] for a in cbl_ins),
+            tuple(a[s:s + b_blk] for a in row_ins)))
+    joined = []
+    for k in range(len(outs[0])):
+        ax = 1 if k < n_cbl_outs else 0
+        joined.append(jnp.concatenate([o[k] for o in outs], axis=ax))
+    return tuple(joined)
+
+
+def inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, L: int,
+                           B: int, b_blk: int, interpret: bool = False):
+    """Streamed-output inside pass: returns (qm1_c, qb_c, qm_c, qm2_c, q1)
+    with the first four in column-stream (L_cols, B, L_i) layout.  qm2_c's
+    column L-1 is never written (caller fills it, as in inside_pallas)."""
+    if b_blk < 8 and B > b_blk:
+        return _chunk_batch(
+            lambda cbl, row: inside_pallas_streamed(
+                cbl, *row, L, b_blk, b_blk, interpret),
+            b_blk, B, tuple(factors_cbl), (w2k, bulge_k, sig, pows), 4)
+    nb = B // b_blk
+    fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
+    qm2col_spec = pl.BlockSpec((1, b_blk, L),
+                               lambda b, j: (jnp.maximum(j - 1, 0), b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    cmat = jax.ShapeDtypeStruct((L, B, L), F32)
+    return pl.pallas_call(
+        functools.partial(_inside_kernel_streamed, L=L, B=b_blk),
+        grid=(nb, L),
+        in_specs=[fcol] * 15 + [fall((b_blk, W, W)), fall((b_blk, W)),
+                                fall((b_blk, 1)), fall((b_blk, POW2))],
+        out_specs=(fcol, fcol, fcol, qm2col_spec,
+                   pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))),
+        out_shape=(cmat, cmat, cmat, cmat,
+                   jax.ShapeDtypeStruct((B, L), F32)),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # qmS
+            pltpu.VMEM((W, b_blk, L), F32),     # Qb
+            pltpu.VMEM((W, b_blk, L), F32),     # Mb
+            pltpu.VMEM((W, b_blk, L), F32),     # Ab
+            pltpu.VMEM((b_blk, L), F32),        # qm1P
+            pltpu.VMEM((b_blk, L), F32),        # q1S
+        ],
+        interpret=interpret,
+    )(*factors_cbl, w2k, bulge_k, sig, pows)
+
+
+def _outside_kernel_streamed(
+        fe, fmb, fmc, mout, minn, taur, tau,
+        pstk1, p111, p21a1, p21b1, p221, pb151, pb131,
+        qm1c, qm1m,
+        qmT, q1pad, q2,
+        w2k, bulge_k, sig, pows,
+        ob_o,                                   # column stream (1, B, L)
+        omS, Ob, OMb, OAb, pendS, sm1S,
+        *, L: int, B: int):
+    j = pl.program_id(1)
+    c = L - 1 - j
+
+    @pl.when(j == 0)
+    def _init():
+        omS[...] = jnp.zeros_like(omS)
+        Ob[...] = jnp.zeros_like(Ob)
+        OMb[...] = jnp.zeros_like(OMb)
+        OAb[...] = jnp.zeros_like(OAb)
+        pendS[...] = jnp.zeros_like(pendS)
+        sm1S[...] = jnp.zeros_like(sm1S)
+
+    col = lambda r: r[0]
+    sg = sig[:, 0:1]
+    sm = pows[:, 0:1]
+
+    omcol = omS[c]
+    qmt = _contract_scan(qmT, omcol, L, B)
+    om1col = pendS[...] + _prefix_scan(omcol, pows, L) + _ldn(qmt, 1)
+    sm1 = om1col + sm * sm1S[...]
+    sm1S[...] = sm1
+
+    lane2 = _lane_iota((B, L + 1))
+    q2c1 = jnp.sum(jnp.where(lane2 == c + 1, q2[...], 0.0), axis=1,
+                   keepdims=True)
+    obcol = q1pad[...] * col(fe) * q2c1
+    obcol = obcol + col(fmb) * sm1
+
+    gen = jnp.zeros((B, L), F32)
+    for u1 in range(1, MAXLOOP):
+        acc = None
+        for b in range(1, MAXLOOP + 1 - u1):
+            t = OMb[b] * _at(w2k, u1, b)
+            acc = t if acc is None else acc + t
+        if acc is not None:
+            gen = gen + _ldn(acc, u1 + 1)
+    obcol = obcol + gen * col(minn)
+
+    oa1 = OAb[0]
+    b5 = jnp.zeros((B, L), F32)
+    for m in range(2, MAXLOOP + 1):
+        b5 = b5 + bulge_k[:, m:m + 1] * _ldn(oa1, m + 1)
+    b3 = jnp.zeros((B, L), F32)
+    for b in range(2, W):
+        b3 = b3 + OAb[b] * bulge_k[:, b:b + 1]
+    obcol = obcol + col(taur) * (b5 + _ldn(b3, 1))
+
+    for ref, di, dj in ((pstk1, 1, 1), (p111, 2, 2), (p21a1, 2, 3),
+                        (p21b1, 3, 2), (p221, 3, 3), (pb151, 2, 1),
+                        (pb131, 1, 2)):
+        pc = jnp.where(c + dj < L, col(ref), 0.0)
+        obcol = obcol + _ldn(pc * Ob[dj - 1], di)
+    obcol = _clamp(obcol)
+
+    a = obcol * col(fmc) * sg * sg
+    ash = _ldn(a, 1)
+    qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
+    w1 = _lup(qm1_cm1, 1)
+    w2_ = _lup(col(qm1c), 1)
+    _scatter_rank1_scan(omS, ash, w1, omcol, w2_, L, B)
+
+    qmt2 = _contract_scan(qmT, ash, L, B)
+    pendS[...] = _ldn(qmt2, 1)
+
+    Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
+    OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
+    OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
+    ob_o[0] = obcol
+
+
+def outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k,
+                            bulge_k, sig, pows, L: int, B: int, b_blk: int,
+                            interpret: bool = False):
+    """Streamed outside pass -> ob in column-stream (L_cols, B, L_i) layout."""
+    if b_blk < 8 and B > b_blk:
+        return _chunk_batch(
+            lambda cbl, row: (outside_pallas_streamed(
+                cbl[:-2], cbl[-2], cbl[-1], *row, L, b_blk, b_blk,
+                interpret),),
+            b_blk, B, tuple(factors_cbl) + (qmT, qm1_cbl),
+            (q1pad, q2, w2k, bulge_k, sig, pows), 1)[0]
+    nb = B // b_blk
+    ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
+
+    def ahead(dj):
+        return pl.BlockSpec(
+            (1, b_blk, L),
+            lambda b, j: (jnp.minimum(L - 1 - j + dj, L - 1), b, 0))
+
+    def fall(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
+
+    f = dict(zip(FACTOR_FIELDS, factors_cbl))
+    ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
+           f["tau"], f["pstk"], f["p11"], f["p21a"], f["p21b"], f["p22"],
+           f["pb15"], f["pb13"], qm1_cbl, qm1_cbl, qmT, q1pad, q2,
+           w2k, bulge_k, sig, pows]
+    in_specs = ([ccol] * 7
+                + [ahead(dj) for dj in (1, 2, 3, 2, 3, 1, 2)]
+                + [ccol,
+                   pl.BlockSpec((1, b_blk, L),
+                                lambda b, j: (jnp.maximum(L - 2 - j, 0), b, 0)),
+                   pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0)),
+                   fall((b_blk, L)), fall((b_blk, L + 1)),
+                   fall((b_blk, W, W)), fall((b_blk, W)), fall((b_blk, 1)),
+                   fall((b_blk, POW2))])
+
+    return pl.pallas_call(
+        functools.partial(_outside_kernel_streamed, L=L, B=b_blk),
+        grid=(nb, L),
+        in_specs=in_specs,
+        out_specs=ccol,
+        out_shape=jax.ShapeDtypeStruct((L, B, L), F32),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, L), F32),     # omS
+            pltpu.VMEM((W, b_blk, L), F32),     # Ob
+            pltpu.VMEM((W, b_blk, L), F32),     # OMb
+            pltpu.VMEM((W, b_blk, L), F32),     # OAb
+            pltpu.VMEM((b_blk, L), F32),        # pendS
+            pltpu.VMEM((b_blk, L), F32),        # sm1S
+        ],
+        interpret=interpret,
+    )(*ins)
+
+
+def _streamed_b_blk(L: int) -> int:
+    """Largest power-of-two b_blk <= 8 keeping the two (L, b, L) resident
+    f32 buffers of the outside pass within ~12 MB of VMEM."""
+    b = 8
+    while b > 1 and 8 * b * L * L > 12e6:
+        b //= 2
+    return b
+
+
+# --------------------------------------------------------------------------
 # batched wrapper: factors + adaptive scaling + inside/outside/q2
 # --------------------------------------------------------------------------
 
@@ -498,21 +858,37 @@ def _pad_batch(x, B_pad):
 
 
 def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
-                 interpret: bool = False, allow=None):
+                 interpret: bool = False, allow=None,
+                 streamed: bool | None = None):
     """One batched inside pass at per-instance scale energies es [B].
 
     Returns (InsideState of natural [B, ...] arrays, aux dict with the
-    kernel-layout tensors the outside pass consumes, sig [B])."""
+    kernel-layout tensors the outside pass consumes, sig [B]).  streamed=None
+    auto-selects the streamed-state kernel variant for L > 256."""
     bt = params_or_bt if isinstance(params_or_bt, BoltzTables) \
         else get_boltz(params_or_bt)
     B, L = S.shape
+    if streamed is None:
+        streamed = L > 256
+    if streamed:
+        b_blk = min(b_blk, _streamed_b_blk(L))
     sig = jnp.exp(-jnp.asarray(es, F32) / F32(bt.kt))
     ffn = _batch_factors(bt, S, n, sig, allow)
     ffc = _batch_factors(bt, S, n, sig, allow, transposed=True)
     w2k, bulge_k, pows = _sig_tables(bt, sig)
     fcbl = tuple(getattr(ffc, f) for f in FACTOR_FIELDS)
-    qm1_c, qb, qm, qm1, qm2, qmT, q1 = inside_pallas(
-        fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
+    if streamed:
+        qm1_c, qb_c, qm_c, qm2_c, q1 = inside_pallas_streamed(
+            fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
+        qb, qm, qm1 = _from_cbl(qb_c), _from_cbl(qm_c), _from_cbl(qm1_c)
+        qm2 = _from_cbl(qm2_c)
+        # column L-1 of the qm2 stream is never written; zero it (the caller
+        # overwrite below recomputes it exactly as inside_pallas does)
+        qm2 = qm2.at[:, :, L - 1].set(0.0)
+        qmT = jnp.transpose(qm, (1, 0, 2))
+    else:
+        qm1_c, qb, qm, qm1, qm2, qmT, q1 = inside_pallas(
+            fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
     # last qm2 column (segment ending at L-1), as in ops.mccaskill.inside
     v = jnp.concatenate([qm1[:, 1:, L - 1], jnp.zeros((B, 1), F32)], axis=1)
     qm2 = qm2.at[:, :, L - 1].set(jnp.einsum("ibl,bl->bi", qmT, v))
@@ -543,13 +919,11 @@ def batch_fold(params, S, n, b_blk: int | None = None, max_iter: int = 8,
     blocks stay inside the 16 MB VMEM budget).
     """
     bt = get_boltz(params)
+    streamed = S.shape[1] > 256
     if b_blk is None:
-        b_blk = 8
-    if S.shape[1] > 256:
-        raise ValueError(
-            "mccaskill megakernel supports sequences up to ~256nt padded "
-            f"(got {S.shape[1]}); longer targets need the streamed-state "
-            "kernel variant")
+        b_blk = _streamed_b_blk(S.shape[1]) if streamed else 8
+    elif streamed:
+        b_blk = min(b_blk, _streamed_b_blk(S.shape[1]))
     B0 = S.shape[0]
     B = -(-B0 // b_blk) * b_blk
     S = _pad_batch(jnp.asarray(S, jnp.int32), B)
@@ -587,9 +961,16 @@ def batch_fold(params, S, n, b_blk: int | None = None, max_iter: int = 8,
     L = S.shape[1]
     q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
     fcbl = tuple(getattr(aux["ffc"], f) for f in FACTOR_FIELDS)
-    ob = outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2,
-                        aux["w2k"], aux["bulge_k"], sig[:, None],
-                        aux["pows"], L, B, b_blk, interpret)
+    if streamed:
+        ob_c = outside_pallas_streamed(
+            fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2, aux["w2k"],
+            aux["bulge_k"], sig[:, None], aux["pows"], L, B, b_blk,
+            interpret)
+        ob = _from_cbl(ob_c)
+    else:
+        ob = outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2,
+                            aux["w2k"], aux["bulge_k"], sig[:, None],
+                            aux["pows"], L, B, b_blk, interpret)
     zn = ins.zn
     bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
                     0.0)

@@ -105,3 +105,24 @@ def test_batch_cofold_unequal_cuts(params):
                           b_blk=4, interpret=True)
     np.testing.assert_allclose(res["hp"][1], one["hp"][0], rtol=3e-5,
                                atol=1e-12)
+
+
+def test_batch_cofold_streamed_matches_jnp(params):
+    """Streamed-state cofold variant (L1+L2 > 320 path) == jnp reference.
+
+    Forces streamed=True at a small L so interpret mode stays fast; the
+    auto-dispatch threshold itself is exercised by construction in
+    batch_cofold (streamed=None picks this path for long concatenations)."""
+    rng = np.random.default_rng(5)
+    S1, S2, n1, n2 = _rand_batch(rng)
+    res = cp.batch_cofold(params, S1, S2, n1, n2, b_blk=4, interpret=True,
+                          emit_state=True, streamed=True)
+    ins_ref, out_ref = _jnp_reference(params, S1, S2, n1, n2, res["es"])
+    np.testing.assert_allclose(res["bpp"], out_ref.bpp, rtol=1e-4,
+                               atol=1e-10)
+
+    def one_hp(s1, s2, m1, m2, e):
+        return cf.cofold_hybrid_probs(params, s1, s2, m1, m2, jnp.float32)
+
+    hp_ref = jax.vmap(one_hp)(S1, S2, n1, n2, res["es"])
+    np.testing.assert_allclose(res["hp"], hp_ref, rtol=1e-4, atol=1e-10)

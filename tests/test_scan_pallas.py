@@ -94,6 +94,51 @@ def test_batch_padding_invariance(params):
     assert res5["bpp"].shape[0] == 5
 
 
+def test_streamed_kernels_match_jnp(params):
+    """Streamed-state kernel variant (L > 256 path) == jnp reference.
+
+    Exercises the exact code path batch_fold auto-selects for long targets
+    (chunked fori_loop contractions + column-stream outputs) at a modest L
+    so interpret mode stays fast; tools/tpu_smoke_scan.py re-checks at
+    L=1024 on hardware."""
+    rng = np.random.default_rng(7)
+    Ltest = 64
+    S, n, _ = _rand_batch(rng, B=4, L=Ltest, nmin=40)
+    es = jnp.full((4,), mc.SCALE_E0, jnp.float32)
+    bt = get_boltz(params)
+    ins_ref, out_ref = _jnp_reference(params, S, n, es)
+    ins, aux, sig = sp.batch_inside(bt, S, n, es, b_blk=4, interpret=True,
+                                    streamed=True)
+    np.testing.assert_allclose(ins.qb, ins_ref.qb, rtol=2e-5, atol=1e-30)
+    np.testing.assert_allclose(ins.qm, ins_ref.qm, rtol=2e-5, atol=1e-30)
+    np.testing.assert_allclose(ins.qm1, ins_ref.qm1, rtol=2e-5, atol=1e-30)
+    np.testing.assert_allclose(ins.qm2, ins_ref.qm2, rtol=2e-5, atol=1e-30)
+    np.testing.assert_allclose(ins.q1, ins_ref.q1, rtol=2e-5)
+    np.testing.assert_allclose(ins.q2, ins_ref.q2, rtol=2e-5)
+    # streamed outside pass
+    q1pad = jnp.concatenate([jnp.ones((4, 1), jnp.float32),
+                             ins.q1[:, :-1]], axis=1)
+    fcbl = tuple(getattr(aux["ffc"], f) for f in sp.FACTOR_FIELDS)
+    ob_c = sp.outside_pallas_streamed(
+        fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2, aux["w2k"],
+        aux["bulge_k"], sig[:, None], aux["pows"], Ltest, 4, 4,
+        interpret=True)
+    ob = sp._from_cbl(ob_c)
+    np.testing.assert_allclose(ob, out_ref.ob, rtol=5e-5, atol=1e-25)
+
+
+def test_streamed_long_dispatch(params):
+    """batch_fold at L=288 (> the resident-kernel cap) runs the streamed
+    path end-to-end and matches the jnp posteriors."""
+    rng = np.random.default_rng(8)
+    S, n, _ = _rand_batch(rng, B=2, L=288, nmin=260)
+    res = sp.batch_fold(params, S, n, interpret=True)
+    ins_ref, out_ref = _jnp_reference(params, S, n, res["es"])
+    np.testing.assert_allclose(res["bpp"], out_ref.bpp, rtol=5e-5,
+                               atol=1e-12)
+    assert float(jnp.max(res["bpp"])) <= 1.0 + 1e-4
+
+
 def test_accessibility_from_batch_fold(params):
     """unpaired_probs driven by the kernel tables == the jnp accessibility."""
     from ractip_tpu.ops.accessibility import accessibility, unpaired_probs
