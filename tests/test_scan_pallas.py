@@ -127,6 +127,21 @@ def test_streamed_kernels_match_jnp(params):
     np.testing.assert_allclose(ob, out_ref.ob, rtol=5e-5, atol=1e-25)
 
 
+def test_streamed_batch_chunking(params):
+    """b_blk < 8 with B > b_blk slices the batch into per-call chunks
+    (Mosaic block-shape rule); results must match the unchunked run."""
+    rng = np.random.default_rng(9)
+    S, n, _ = _rand_batch(rng, B=4, L=64, nmin=40)
+    es = jnp.full((4,), mc.SCALE_E0, jnp.float32)
+    bt = get_boltz(params)
+    ins_c, _, _ = sp.batch_inside(bt, S, n, es, b_blk=2, interpret=True,
+                                  streamed=True)
+    ins_f, _, _ = sp.batch_inside(bt, S, n, es, b_blk=4, interpret=True,
+                                  streamed=True)
+    np.testing.assert_allclose(ins_c.qb, ins_f.qb, rtol=1e-6)
+    np.testing.assert_allclose(ins_c.q1, ins_f.q1, rtol=1e-6)
+
+
 def test_streamed_long_dispatch(params):
     """batch_fold at L=288 (> the resident-kernel cap) runs the streamed
     path end-to-end and matches the jnp posteriors."""
