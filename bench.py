@@ -21,6 +21,7 @@ GCUPS/chip at the bench shape (BASELINE.json's primary kernel metric).
 Prints ONE JSON line.
 """
 
+import os
 import json
 import time
 
@@ -78,14 +79,15 @@ def _gcups():
 
 def main():
     from ractip_tpu.io.fasta import load_fasta
+    from ractip_tpu.evaluate.corpus import data_dir_default
     from ractip_tpu.params.tables import get_default_params
     from ractip_tpu.pipeline.batched import predict_batch
     from ractip_tpu.pipeline.ractip import Options
 
     from ractip_tpu.pipeline.shuffle import dinuc_shuffle
 
-    fa1 = load_fasta("/root/reference/data/CopA.fa")[0]
-    fa2 = load_fasta("/root/reference/data/CopT.fa")[0]
+    fa1 = load_fasta(os.path.join(data_dir_default(), "CopA.fa"))[0]
+    fa2 = load_fasta(os.path.join(data_dir_default(), "CopT.fa"))[0]
     opts = Options()
     params = get_default_params()
     rng = np.random.default_rng(0)

@@ -4,18 +4,30 @@ The reference ships 15 sequences (data/*.fa) and curated joint-structure
 answers (examples/RNA-RNAdata.zip, 2-row format converted by conv.rb); accuracy
 is sensitivity/PPV/F over external, internal and all pairs (utils/eval.rb).
 This module reproduces that protocol end to end against our predictor.
+
+The corpus itself (published benchmark data) is BUNDLED with the package
+(ractip_tpu/data/, see PROVENANCE.md there), so evaluation is self-contained;
+set RACTIP_TPU_DATA_DIR (or pass data_dir/zip_path) to use another copy.
 """
 
 from __future__ import annotations
 
 import os
 import zipfile
+from pathlib import Path
 
 from ..io.fasta import Fasta, load_pair
 from .fmeasure import PairSets, convert_answer, evaluate
 
-REFERENCE_DATA = "/root/reference/data"
-ANSWER_ZIP = "/root/reference/examples/RNA-RNAdata.zip"
+
+def data_dir_default() -> str:
+    """Bundled corpus directory, overridable via RACTIP_TPU_DATA_DIR."""
+    env = os.environ.get("RACTIP_TPU_DATA_DIR")
+    return env if env else str(Path(__file__).resolve().parent.parent / "data")
+
+
+REFERENCE_DATA = data_dir_default()
+ANSWER_ZIP = os.path.join(REFERENCE_DATA, "RNA-RNAdata.zip")
 
 PAIRS = [
     ("CopA-CopT", "CopA.fa", "CopT.fa", "RNA-RNAdata/CopA-CopTanswer.txt"),
@@ -32,8 +44,10 @@ PAIRS = [
 ]
 
 
-def load_answers(zip_path: str = ANSWER_ZIP) -> dict:
+def load_answers(zip_path: str | None = None) -> dict:
     """pair name -> (rec1, rec2) with rec = (name, seq, brackets)."""
+    if zip_path is None:
+        zip_path = os.path.join(data_dir_default(), "RNA-RNAdata.zip")
     out = {}
     with zipfile.ZipFile(zip_path) as z:
         for name, _f1, _f2, ans in PAIRS:
@@ -43,16 +57,18 @@ def load_answers(zip_path: str = ANSWER_ZIP) -> dict:
     return out
 
 
-def corpus_pairs(data_dir: str = REFERENCE_DATA):
+def corpus_pairs(data_dir: str | None = None):
     """Yield (name, Fasta1, Fasta2) for the 8 benchmark pairs."""
+    if data_dir is None:
+        data_dir = data_dir_default()
     for name, f1, f2, _ans in PAIRS:
         fa1, fa2 = load_pair(os.path.join(data_dir, f1),
                              os.path.join(data_dir, f2))
         yield name, fa1, fa2
 
 
-def evaluate_corpus(predict_fn, data_dir: str = REFERENCE_DATA,
-                    zip_path: str = ANSWER_ZIP) -> dict:
+def evaluate_corpus(predict_fn, data_dir: str | None = None,
+                    zip_path: str | None = None) -> dict:
     """predict_fn(fa1, fa2) -> (r1, r2).  Returns per-pair + pooled metrics.
 
     Pooling sums TP/answer/result counts over pairs before computing

@@ -601,6 +601,9 @@ def co_inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, cut,
                               interpret: bool = False):
     """Streamed inside pass: returns (qm1_c, qb_c, qm_c, qx_c, q1), the
     first four in column-stream (L_cols, B, L_i) layout."""
+    assert L % 8 == 0, (
+        f"streamed kernels contract in chunks of 8: pad L={L} to a "
+        f"multiple of 8 (pipeline callers bucket to multiples of 32)")
     from .scan_pallas import _chunk_batch
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
@@ -773,6 +776,9 @@ def co_outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, qxT, qxA, qBpref,
     """Streamed outside pass.  qxT: qx in (L_i, B, L_cols) layout; qxA/qBpref
     precomputed [B, L] exterior-segment vectors.  Returns ob in column-stream
     (L_cols, B, L_i) layout."""
+    assert L % 8 == 0, (
+        f"streamed kernels contract in chunks of 8: pad L={L} to a "
+        f"multiple of 8 (pipeline callers bucket to multiples of 32)")
     from .scan_pallas import _chunk_batch
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(

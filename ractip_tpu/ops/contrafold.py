@@ -290,13 +290,23 @@ def cf_viterbi(S, n, model: str = "complementary", dtype=jnp.float64,
     """
     Lp = S.shape[0]
     tables = get_cf_tables(model)
-    eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
+    # Deterministic position-dependent tie-breaking perturbation: on an exact
+    # score tie the max-gradient splits mass across the tied optima and
+    # 0.5-thresholding would drop pairs unique to each (yielding a mapping
+    # that does not attain the returned score).  A generic tiny eps makes the
+    # optimum unique, so the gradient is an exact 0/1 indicator of ONE
+    # complete optimal structure (the reference's explicit traceback always
+    # returns one, InferenceEngine.ipp:3023).  The perturbed score is
+    # base + sum(eps over chosen pairs), subtracted back out below.
+    tie = 1e-9 if dtype == jnp.float64 else 1e-5
+    ia = jnp.arange(Lp + 1)
+    eps = tie * (((ia[:, None] * 31 + ia[None, :] * 17) % 997) / 997.0)
+    eps = eps.astype(dtype)
     score, g = jax.value_and_grad(
         lambda e: _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32),
                            Lp, e, "max", allow))(eps)
-    ind = g[1:, 1:]                 # 0-based pair indicators
-    # ties in max split gradient mass; threshold at 1/2 keeps one structure's
-    # worth of pairs (exact 0/1 for a unique optimum)
+    ind = g[1:, 1:]                 # 0-based pair indicators, exact 0/1
+    score = score - jnp.sum(jnp.where(ind > 0.5, eps[1:, 1:], 0.0))
     mapping = -jnp.ones((Lp,), jnp.int32)
     ii, jj = jnp.nonzero(ind > 0.5, size=Lp, fill_value=-1)
     ii, jj = ii.astype(jnp.int32), jj.astype(jnp.int32)
@@ -505,53 +515,53 @@ def cf_mea(bpp, n: int, gamma: float = 6.0):
     import numpy as np
     p = np.asarray(bpp, np.float64)[:n, :n]
     p = p + p.T
-    q = np.maximum(0.0, 1.0 - p.sum(axis=1))
+    # unclamped, as the reference's unpaired posterior (tie-break parity;
+    # accumulated float error can push q_i marginally below 0)
+    q = 1.0 - p.sum(axis=1)
     M = np.full((n, n), 0.0)
     for i in range(n):
         M[i, i] = q[i]
     # pairscore[i, j] used when i pairs j
     ps = 2.0 * gamma * np.asarray(bpp, np.float64)[:n, :n]
+    # choice recorded DURING the DP (as the reference's traceback does,
+    # InferenceEngine.ipp:4917-4997) -- value-matching the cases afterwards
+    # with a fixed tolerance can silently fail on long sequences:
+    #   0 = i unpaired, 1 = j unpaired, 2 = (i,j) paired,
+    #   3+off = bifurcation at k = i + off
+    C = np.zeros((n, n), np.int64)
     for s in range(1, n):
         i = np.arange(0, n - s)
         j = i + s
-        best = M[i + 1, j] + q[i]                    # i unpaired
-        np.maximum(best, M[i, j - 1] + q[j], out=best)   # j unpaired
+        cand = np.empty((3 + s, n - s))
+        cand[0] = M[i + 1, j] + q[i]
+        cand[1] = M[i, j - 1] + q[j]
         pair = ps[i, j].copy()
         if s >= 2:
             pair += M[i + 1, j - 1]
-        np.maximum(best, pair, out=best)
-        # bifurcation: max_k M[i,k] + M[k+1,j]
+        cand[2] = pair
         for off in range(s):
             k = i + off
-            np.maximum(best, M[i, k] + M[k + 1, j], out=best)
-        M[i, j] = best
-    # traceback
+            cand[3 + off] = M[i, k] + M[k + 1, j]
+        am = np.argmax(cand, axis=0)
+        M[i, j] = cand[am, np.arange(n - s)]
+        C[i, j] = am
+    # exact traceback over the recorded choices
     mapping = -np.ones((n,), np.int64)
     stack = [(0, n - 1)]
-    tol = 1e-9
     while stack:
         i, j = stack.pop()
         if i >= j:
             continue
-        v = M[i, j]
-        if abs(v - (M[i + 1, j] + q[i])) < tol:
+        c = C[i, j]
+        if c == 0:
             stack.append((i + 1, j))
-            continue
-        if abs(v - (M[i, j - 1] + q[j])) < tol:
+        elif c == 1:
             stack.append((i, j - 1))
-            continue
-        inner = M[i + 1, j - 1] if j - i >= 2 else 0.0
-        if abs(v - (ps[i, j] + inner)) < tol:
+        elif c == 2:
             mapping[i], mapping[j] = j, i
             stack.append((i + 1, j - 1))
-            continue
-        done = False
-        for k in range(i, j):
-            if abs(v - (M[i, k] + M[k + 1, j])) < tol:
-                stack.append((i, k))
-                stack.append((k + 1, j))
-                done = True
-                break
-        if not done:            # numerical fallback: treat i unpaired
-            stack.append((i + 1, j))
+        else:
+            k = i + int(c - 3)
+            stack.append((i, k))
+            stack.append((k + 1, j))
     return mapping

@@ -641,6 +641,9 @@ def inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, L: int,
     """Streamed-output inside pass: returns (qm1_c, qb_c, qm_c, qm2_c, q1)
     with the first four in column-stream (L_cols, B, L_i) layout.  qm2_c's
     column L-1 is never written (caller fills it, as in inside_pallas)."""
+    assert L % _CH == 0, (
+        f"streamed kernels contract in chunks of {_CH}: pad L={L} to a "
+        f"multiple of {_CH} (pipeline callers bucket to multiples of 32)")
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
             lambda cbl, row: inside_pallas_streamed(
@@ -759,6 +762,9 @@ def outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k,
                             bulge_k, sig, pows, L: int, B: int, b_blk: int,
                             interpret: bool = False):
     """Streamed outside pass -> ob in column-stream (L_cols, B, L_i) layout."""
+    assert L % _CH == 0, (
+        f"streamed kernels contract in chunks of {_CH}: pad L={L} to a "
+        f"multiple of {_CH} (pipeline callers bucket to multiples of 32)")
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
             lambda cbl, row: (outside_pallas_streamed(

@@ -129,13 +129,21 @@ def _pack_leaves(out):
 
 
 def _unpack_leaves(host_packed, treedef, specs):
+    """Split the packed per-dtype host buffers back into result leaves.
+
+    Every leaf is materialized with np.array (an unconditional copy):
+    host_packed holds read-only views of device buffers (np.asarray of a
+    jax.Array), and np.ascontiguousarray returns the read-only view
+    UNCOPIED whenever the slice is already C-contiguous -- e.g. every
+    width-1 leaf, or all leaves at B=1 -- which made downstream in-place
+    updates (_exact_fallback) crash with "assignment destination is
+    read-only" on the TPU link."""
     offs = {k: 0 for k in host_packed}
     leaves = []
     for dt, shape in specs:
         w = int(np.prod(shape[1:])) if len(shape) > 1 else 1
         buf = host_packed[dt]
-        leaves.append(np.ascontiguousarray(
-            buf[:, offs[dt]:offs[dt] + w]).reshape(shape))
+        leaves.append(np.array(buf[:, offs[dt]:offs[dt] + w]).reshape(shape))
         offs[dt] += w
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -298,6 +306,14 @@ def _exact_fallback(out, cfg: SolverConfig, L1: int, L2: int,
     src/ip.cpp:112-122; this restores that exactness selectively)."""
     from ..solver.bnb import solve_joint
     gaps = np.where(out["bound"] - out["obj"] > gap_tol)[0]
+    if len(gaps):
+        # defensively ensure the mutated leaves are writable host copies
+        # (device-backed views are read-only; see _unpack_leaves)
+        for k in ("obj", "bound", "mv"):
+            if not out[k].flags.writeable:
+                out[k] = np.array(out[k])
+        out["u"] = tuple(np.array(t) if not t.flags.writeable else t
+                         for t in out["u"])
     for b in gaps:
         prob = _tree_index(out["prob"], int(b))
         u, obj, bound, _nodes = solve_joint(prob, cfg, L1, L2, iters=iters)

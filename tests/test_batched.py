@@ -138,3 +138,49 @@ def test_region_bucket_truncation_keeps_useful_regions():
         f"region covering the site was truncated away: {vset}"
     wset = _cand_set(dev.wp, dev.wq, dev.wc, dev.wm)
     assert any(p <= 4 <= q for (p, q, _) in wset)
+
+
+@pytest.mark.parametrize("B", [1, 8])
+def test_forced_exact_fallback_through_packed_path(params, B):
+    """Regression for the round-4 BENCH crash: _unpack_leaves handed back
+    READ-ONLY views of the packed device buffers whenever a slice was
+    already C-contiguous (every width-1 leaf; ALL leaves at B=1), and
+    _exact_fallback then mutated them in place -> "assignment destination
+    is read-only" on the TPU link.  A negative gap tolerance forces the
+    host branch-and-bound fallback on EVERY instance through the
+    production packed=True path (predict_batch always packs), at both the
+    all-contiguous B=1 shape and a B>=8 chunk."""
+    pairs = [PAIRS[b % len(PAIRS)] for b in range(B)]
+    opts = Options()
+    res = predict_batch(params, pairs, opts, chunk=B, iters=1500,
+                        buckets=(16, 16, 16, 64, 64),
+                        exact_gap_tol=-1.0)   # bound-obj > -1 always fires
+    assert np.all(res.violation < 0.5)
+    # the fallback re-solves exactly: objective must meet the LP bound
+    assert np.all(res.bound - res.objective <= 1e-3)
+
+
+def test_unpack_leaves_always_writable():
+    """Every leaf _unpack_leaves returns must be a writable host array,
+    even when the source buffer is a read-only contiguous view."""
+    import jax
+    from ractip_tpu.pipeline.batched import _unpack_leaves
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": np.array([1.0, 2.0], np.float32),          # width-1 leaf
+            "c": np.array([[3], [4]], np.int32)}
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    specs = [(str(l.dtype), l.shape) for l in leaves]
+    packed = {}
+    for dt in ("float32", "int32"):
+        parts = [l.reshape(2, -1) for l in leaves if str(l.dtype) == dt]
+        if parts:
+            buf = np.concatenate(parts, axis=1)
+            buf.flags.writeable = False      # device buffers arrive read-only
+            packed[dt] = buf
+    out = _unpack_leaves(packed, treedef, specs)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert leaf.flags.writeable
+        leaf[...] = 0                        # must not raise
+    np.testing.assert_array_equal(np.asarray(packed["float32"][0]),
+                                  [0, 1, 2, 1])  # source untouched

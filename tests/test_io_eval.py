@@ -8,6 +8,12 @@ from ractip_tpu.evaluate.fmeasure import (PairSets, convert_answer, evaluate,
 from ractip_tpu.io.fasta import load_pair, parse_fasta
 from ractip_tpu.pipeline.shuffle import dinuc_shuffle, klet_counts
 
+import os
+
+from ractip_tpu.evaluate.corpus import data_dir_default
+
+DATA = data_dir_default()
+
 
 def test_parse_fasta_with_constraints():
     recs = parse_fasta(">a\nACGUACGU\n((..))..\n>b desc\nGGGG\nCCCC\n")
@@ -18,8 +24,8 @@ def test_parse_fasta_with_constraints():
 
 
 def test_parse_fasta_reference_corpus():
-    fa1, fa2 = load_pair("/root/reference/data/DIS.fa",
-                         "/root/reference/data/DIS.fa")
+    fa1, fa2 = load_pair(os.path.join(DATA, "DIS.fa"),
+                         os.path.join(DATA, "DIS.fa"))
     assert fa1.seq == "CUCGGCUUGCUGAGGUGCACACAGCAAGAGGCGAG"
     assert fa1.name.startswith("DIS")
 

@@ -5,6 +5,12 @@ import pytest
 from ractip_tpu.io.sstruct import (Structure, UNKNOWN, UNPAIRED, load_structure,
                                    parse_bpseq, parse_fasta_struct, parse_raw)
 
+import os
+
+from ractip_tpu.evaluate.corpus import data_dir_default
+
+DATA = data_dir_default()
+
 
 def test_parens_roundtrip():
     s = Structure.from_parens("GGGAAACCC", "(((...)))", "hp")
@@ -60,5 +66,5 @@ def test_fasta_struct_and_autodetect(tmp_path):
 
 
 def test_reference_corpus_files_parse():
-    ss = load_structure("/root/reference/data/DIS.fa")
+    ss = load_structure(os.path.join(DATA, "DIS.fa"))
     assert ss[0].seq.startswith("CUCGGCUUGCUGAGG")

@@ -13,12 +13,14 @@ import numpy as np
 from ractip_tpu.io.fasta import load_fasta
 from ractip_tpu.params.tables import get_default_params
 from ractip_tpu.pipeline.ractip import Options, Posteriors, solve_pair
+from ractip_tpu.evaluate.corpus import data_dir_default as _ddd
+_DATA = _ddd()
 
 GOLD1 = "((((.(((((((..[[[[[[.)))))))...))))"
 GOLD2 = "((((.(((((((..]]]]]].)))))))...))))"
 
-fa1 = load_fasta("/root/reference/data/DIS.fa")[0]
-fa2 = load_fasta("/root/reference/data/DIS.fa")[0]
+fa1 = load_fasta(_DATA + "/DIS.fa")[0]
+fa2 = load_fasta(_DATA + "/DIS.fa")[0]
 opts = Options()
 params = get_default_params()
 

@@ -17,8 +17,10 @@ import ractip_tpu.ops.cofold as co
 from ractip_tpu.io.fasta import load_fasta
 from ractip_tpu.ops.seq import encode
 from ractip_tpu.params.tables import get_default_params
+from ractip_tpu.evaluate.corpus import data_dir_default as _ddd
+_DATA = _ddd()
 
-fa = load_fasta("/root/reference/data/DIS.fa")[0]
+fa = load_fasta(_DATA + "/DIS.fa")[0]
 S = jnp.asarray(encode(fa.seq))
 n = len(fa.seq)
 params = get_default_params()

@@ -15,12 +15,14 @@ from ractip_tpu.ops.cofold import cofold_hybrid_probs
 from ractip_tpu.ops.accessibility import accessibility
 from ractip_tpu.ops.seq import bucket_length, encode
 from ractip_tpu.solver.device import build_problem_device, solve_joint_device
+from ractip_tpu.evaluate.corpus import data_dir_default as _ddd
+_DATA = _ddd()
 
 BATCH = 128
 ITERS = 1500
 
-fa1 = load_fasta("/root/reference/data/CopA.fa")[0]
-fa2 = load_fasta("/root/reference/data/CopT.fa")[0]
+fa1 = load_fasta(_DATA + "/CopA.fa")[0]
+fa2 = load_fasta(_DATA + "/CopT.fa")[0]
 opts = Options()
 cfg = opts.solver_cfg()
 params = get_default_params()

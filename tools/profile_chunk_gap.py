@@ -12,10 +12,12 @@ from ractip_tpu.pipeline import batched
 from ractip_tpu.pipeline.ractip import Options
 from ractip_tpu.pipeline.shuffle import dinuc_shuffle
 from ractip_tpu.ops.seq import bucket_length, encode
+from ractip_tpu.evaluate.corpus import data_dir_default as _ddd
+_DATA = _ddd()
 
 BATCH, ITERS = 128, 1500
-fa1 = load_fasta("/root/reference/data/CopA.fa")[0]
-fa2 = load_fasta("/root/reference/data/CopT.fa")[0]
+fa1 = load_fasta(_DATA + "/CopA.fa")[0]
+fa2 = load_fasta(_DATA + "/CopT.fa")[0]
 opts = Options()
 cfg = opts.solver_cfg()
 params = get_default_params()

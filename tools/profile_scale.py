@@ -13,10 +13,12 @@ from ractip_tpu.pipeline.shuffle import dinuc_shuffle
 from ractip_tpu.ops import mccaskill as mc
 from ractip_tpu.ops.cofold import cofold_hybrid_probs, cofold
 from ractip_tpu.ops.seq import bucket_length, encode
+from ractip_tpu.evaluate.corpus import data_dir_default as _ddd
+_DATA = _ddd()
 
 BATCH = 128
-fa1 = load_fasta("/root/reference/data/CopA.fa")[0]
-fa2 = load_fasta("/root/reference/data/CopT.fa")[0]
+fa1 = load_fasta(_DATA + "/CopA.fa")[0]
+fa2 = load_fasta(_DATA + "/CopT.fa")[0]
 params = get_default_params()
 bt = get_boltz(params)
 rng = np.random.default_rng(0)
