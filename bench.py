@@ -37,7 +37,14 @@ SEQ_MODEL_RATE = 7.87
 
 
 def _gcups():
-    """DP-kernel throughput at the bench shapes (cells = n^3/2 updates)."""
+    """DP-kernel throughput at the bench shapes (cells = n^3/2 updates).
+
+    The tunneled device link of this sandbox costs ~30 ms per dispatch --
+    comparable to the whole kernel at these tiny-n shapes and absent in the
+    production pipeline (one dispatch per CHUNK of hundreds of instances,
+    pipeline.batched).  So the kernel rate is measured as the SLOPE between
+    K1 and K2 scanned applications inside one jit: per-application time net
+    of the fixed dispatch/transfer cost."""
     import jax
     import jax.numpy as jnp
     from ractip_tpu.ops import cofold_pallas as cp
@@ -49,30 +56,62 @@ def _gcups():
     rng = np.random.default_rng(1)
     interp = jax.default_backend() == "cpu"
     out = {}
+    K1, K2 = (2, 10) if not interp else (1, 2)
 
-    def timeit(fn, *a):
-        r = fn(*a)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        r = fn(*a)
-        jax.block_until_ready(r)
-        return time.perf_counter() - t0
+    def mkseqs(B, n, L):
+        seqs = ["".join(rng.choice(list("ACGU"), n)) for _ in range(B)]
+        return np.stack([encode(s, L) for s in seqs])
+
+    def slope(mk_fn, *argsets):
+        """Per-application seconds: (t[K2] - t[K1]) / (K2 - K1), best of 3."""
+        ts = {}
+        for K in (K1, K2):
+            fn = mk_fn(K)
+            args = argsets[:1][0](K)
+            np.asarray(fn(*args))        # compile + warm
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(*args))
+                best = min(best, time.perf_counter() - t0)
+            ts[K] = best
+        return max((ts[K2] - ts[K1]) / (K2 - K1), 1e-9)
 
     B, n = (BATCH, 70) if not interp else (8, 24)
     L = 96 if not interp else 32
-    seqs = ["".join(rng.choice(list("ACGU"), n)) for _ in range(B)]
-    S = jnp.asarray(np.stack([encode(s, L) for s in seqs]))
     m = jnp.full(B, n, jnp.int32)
-    fold = jax.jit(lambda S, m: jnp.sum(
-        sp.batch_fold(params, S, m, interpret=interp)["bpp"]))
-    t = timeit(fold, S, m)
+
+    def mk_fold(K):
+        @jax.jit
+        def f(Ss, m):
+            def body(acc, S):
+                r = sp.batch_fold(params, S, m, interpret=interp)["bpp"]
+                return acc + jnp.sum(r, axis=(1, 2)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32), Ss)
+            return acc
+        return f
+
+    fold_args = lambda K: (jnp.asarray(
+        np.stack([mkseqs(B, n, L) for _ in range(K)])), m)
+    t = slope(mk_fold, fold_args)
     out["mccaskill_gcups"] = round(B * n**3 / 2 / t / 1e9, 3)
 
-    seqs2 = ["".join(rng.choice(list("ACGU"), n)) for _ in range(B)]
-    S2 = jnp.asarray(np.stack([encode(s, L) for s in seqs2]))
-    cof = jax.jit(lambda a, b, m1, m2: jnp.sum(
-        cp.batch_cofold(params, a, b, m1, m2, interpret=interp)["hp"]))
-    t = timeit(cof, S, S2, m, m)
+    def mk_cof(K):
+        @jax.jit
+        def f(S1s, S2s, m1, m2):
+            def body(acc, Ss):
+                r = cp.batch_cofold(params, Ss[0], Ss[1], m1, m2,
+                                    interpret=interp)["hp"]
+                return acc + jnp.sum(r, axis=(1, 2)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32),
+                                  (S1s, S2s))
+            return acc
+        return f
+
+    cof_args = lambda K: (
+        jnp.asarray(np.stack([mkseqs(B, n, L) for _ in range(K)])),
+        jnp.asarray(np.stack([mkseqs(B, n, L) for _ in range(K)])), m, m)
+    t = slope(mk_cof, cof_args)
     out["cofold_gcups"] = round(B * (2 * n)**3 / 2 / t / 1e9, 3)
     return out
 

@@ -28,7 +28,8 @@ from ..ops.duplex import hybrid_probs
 from ..ops.mccaskill import base_pair_probs
 from ..ops.seq import bucket_length, encode
 from ..params.tables import EnergyParams, get_default_params
-from ..solver import SolverConfig, build_problem, solve_joint
+from ..solver import SolverConfig, build_problem
+from ..solver.milp import exact_solve as solve_joint
 from ..solver.candidates import JointProblem
 from .shuffle import dinuc_shuffle
 
