@@ -79,7 +79,7 @@ class CoFactors(NamedTuple):
 
 def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
                cut: jnp.ndarray, dtype=jnp.float32, sigma=None,
-               allow=None) -> CoFactors:
+               allow=None, span_loop_penalty=None) -> CoFactors:
     """Cut-aware factor matrices.  `cut` = index of the first base of strand 2.
 
     Mask conventions: a loop stretch i..k (inclusive of the junctions at both
@@ -89,6 +89,14 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     `allow` (optional bool [L, L], concatenated coordinates) restricts the
     joint ensemble to structures whose pairs all satisfy allow[i, j]
     (reference: constrained co_pf_fold, src/ractip.cpp:403-444).
+
+    `span_loop_penalty` (kcal/mol, EXPERIMENTAL -- DIS audit, RESULTS.md):
+    adds this free energy to every two-sided loop (stack/bulge/interior)
+    whose CLOSING pair spans the cut, probing alternative scoring
+    conventions for the cut-spanning helix; np.inf scores every such loop
+    as disallowed (the "spanning helices get no stacking" straw variant).
+    None/0.0 = the validated convention (identical to ops.eos cut
+    semantics).
     """
     L = S.shape[0]
     pair_tbl = jnp.asarray(np.array(PAIR_TYPE, np.int32))
@@ -158,9 +166,19 @@ def co_factors(bt: BoltzTables, S: jnp.ndarray, n: jnp.ndarray,
     pb15 = jnp.where(tv & m5(2) & m3(1), f(bt.stack)[t, tr_at(2, -1)] * f(bt.bulge[1]) * sig ** 3, 0.0)
     pb13 = jnp.where(tv & m5(1) & m3(2), f(bt.stack)[t, tr_at(1, -2)] * f(bt.bulge[1]) * sig ** 3, 0.0)
 
+    if span_loop_penalty is not None:
+        # kt is in cal/mol (params.boltz); penalty is kcal/mol
+        pen = jnp.asarray(np.exp(-span_loop_penalty * 1000.0 / bt.kt), dtype)
+        span_cl = ((I < c) & (c <= J)).astype(dtype)
+        sc = span_cl * pen + (1.0 - span_cl)
+        pstk, p11, p21a, p21b = pstk * sc, p11 * sc, p21a * sc, p21b * sc
+        p22, pb15, pb13 = p22 * sc, pb15 * sc, pb13 * sc
+
     tau = jnp.where(tv, f(bt.term_au)[t], 0.0)
     taur = jnp.where(tr > 0, f(bt.term_au)[tr], 0.0)
     mout = jnp.where(tv, f(bt.mismatch_i)[t, si1, sj1], 0.0)
+    if span_loop_penalty is not None:
+        tau, mout = tau * sc, mout * sc
     minn = jnp.where(tr > 0, f(bt.mismatch_i)[tr, sjp1, sim1], 0.0)
 
     d5 = f(bt.dangle5)
@@ -495,7 +513,7 @@ def co_outside(ff: CoFactors, bt: BoltzTables, ins: CoInsideState,
 
 def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
            n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32, scale_e=None,
-           allow=None):
+           allow=None, span_loop_penalty=None):
     """Joint fold of the concatenation.  Returns (CoInsideState, CoOutsideState).
 
     S1/S2 are padded encodings; the concatenation packs S1[:n1] then S2[:n2]
@@ -514,7 +532,7 @@ def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
 
     def probe(es):
         sig = jnp.exp(-es / kt)
-        ff = co_factors(bt, S, n, n1, dtype, sig, allow)
+        ff = co_factors(bt, S, n, n1, dtype, sig, allow, span_loop_penalty)
         return co_inside(ff, bt, n, n1, dtype, sig)
 
     if scale_e is None:
@@ -544,18 +562,19 @@ def cofold(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
         es = jnp.asarray(scale_e, dtype)
         ins = probe(es)
     sig = jnp.exp(-es / kt)
-    ff = co_factors(bt, S, n, n1, dtype, sig, allow)
+    ff = co_factors(bt, S, n, n1, dtype, sig, allow, span_loop_penalty)
     out = co_outside(ff, bt, ins, n, n1, dtype, sig)
     return ins, out
 
 
 def cofold_hybrid_probs(params: EnergyParams, S1: jnp.ndarray, S2: jnp.ndarray,
                         n1: jnp.ndarray, n2: jnp.ndarray, dtype=jnp.float32,
-                        allow=None):
+                        allow=None, span_loop_penalty=None):
     """hp[i1, i2] = P(S1[i1] pairs S2[i2]) under the joint (cofold) ensemble --
     the reference's default hybridization posteriors (src/ractip.cpp:442-453)."""
     L1, L2 = S1.shape[0], S2.shape[0]
-    ins, out = cofold(params, S1, S2, n1, n2, dtype, allow=allow)
+    ins, out = cofold(params, S1, S2, n1, n2, dtype, allow=allow,
+                      span_loop_penalty=span_loop_penalty)
     # extract the cross block [i, n1 + j]
     cols = n1 + jnp.arange(L2)[None, :]                  # [1, L2]
     rows = jnp.arange(L1)[:, None]
