@@ -107,9 +107,11 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
         yi, yj, yc, ym = intra(bpp2, n2, L2, ky)
     else:
         zzi = jnp.zeros((kx,), jnp.int32)
-        xi, xj, xc, xm = zzi, zzi, jnp.zeros((kx,)), jnp.zeros((kx,))
+        xi, xj = zzi, zzi
+        xc, xm = jnp.zeros((kx,), jnp.float32), jnp.zeros((kx,), jnp.float32)
         zzy = jnp.zeros((ky,), jnp.int32)
-        yi, yj, yc, ym = zzy, zzy, jnp.zeros((ky,)), jnp.zeros((ky,))
+        yi, yj = zzy, zzy
+        yc, ym = jnp.zeros((ky,), jnp.float32), jnp.zeros((ky,), jnp.float32)
 
     I1 = jnp.arange(L1)[:, None]
     I2 = jnp.arange(L2)[None, :]
@@ -153,10 +155,14 @@ def build_problem_device(bpp1, bpp2, hp, pu1, pu2, n1, n2,
         vp, vq, vc, vm = regions(pu1, n1, L1, kv, zmass1)
         wp, wq, wc, wm = regions(pu2, n2, L2, kw, zmass2)
     else:
+        # explicit f32: under jax_enable_x64 a bare jnp.zeros defaults to
+        # f64, which leaks into the PDHG carries and breaks the fori_loop
         zv = jnp.zeros((kv,), jnp.int32)
-        vp, vq, vc, vm = zv, zv, jnp.zeros((kv,)), jnp.zeros((kv,))
+        vp, vq = zv, zv
+        vc, vm = jnp.zeros((kv,), jnp.float32), jnp.zeros((kv,), jnp.float32)
         zw = jnp.zeros((kw,), jnp.int32)
-        wp, wq, wc, wm = zw, zw, jnp.zeros((kw,)), jnp.zeros((kw,))
+        wp, wq = zw, zw
+        wc, wm = jnp.zeros((kw,), jnp.float32), jnp.zeros((kw,), jnp.float32)
 
     return JointProblem(
         xi=xi, xj=xj, xc=xc, xm=xm, yi=yi, yj=yj, yc=yc, ym=ym,

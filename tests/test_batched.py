@@ -140,7 +140,7 @@ def test_region_bucket_truncation_keeps_useful_regions():
     assert any(p <= 4 <= q for (p, q, _) in wset)
 
 
-@pytest.mark.parametrize("B", [1, 8])
+@pytest.mark.parametrize("B", [pytest.param(1, marks=pytest.mark.smoke), 8])
 def test_forced_exact_fallback_through_packed_path(params, B):
     """Regression for the round-4 BENCH crash: _unpack_leaves handed back
     READ-ONLY views of the packed device buffers whenever a slice was

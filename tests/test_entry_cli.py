@@ -1,5 +1,6 @@
 """Driver entry points and the RactIP-compatible CLI."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -35,6 +36,7 @@ def test_cli_defaults_match_reference_ggo():
     assert opts.in_pk and opts.stacking and not opts.force_constraint
 
 
+@pytest.mark.smoke
 def test_cli_end_to_end(tmp_path, capsys):
     fa = tmp_path / "pair.fa"
     fa.write_text(">s1\nGCGCUUGCGUUAAGCAAGCGC\n>s2\nGCGCUUGCAAGCGC\n")

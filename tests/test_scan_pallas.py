@@ -67,6 +67,7 @@ def test_inside_matches_jnp(params):
     np.testing.assert_allclose(ins.zn, ins_ref.zn, rtol=2e-5)
 
 
+@pytest.mark.smoke
 def test_fold_bpp_matches_jnp(params):
     rng = np.random.default_rng(1)
     S, n, _ = _rand_batch(rng)
