@@ -565,3 +565,96 @@ def cf_mea(bpp, n: int, gamma: float = 6.0):
             stack.append((i, k))
             stack.append((k + 1, j))
     return mapping
+
+
+# --------------------------------------------------------------------------
+# UseLoss: max-margin (loss-augmented) inference surface
+# (reference InferenceEngine::UseLoss, InferenceEngine.ipp:1824 -- the
+# training-side API of CONTRAfold's max-margin mode.  The reference adds
+# per-position FP/FN loss scores to the scoring cache before Viterbi; here
+# the Hamming-style pair loss decomposes exactly onto the existing
+# ScoreBasePair perturbation eps:
+#     loss(y; y*) = sum_{ij in y} [fp*(ij not in y*) - fn*(ij in y*)]
+#                   + fn*|y*|                         (a constant)
+# so loss-augmented inference is one cf_viterbi/cf_logz call with
+# eps = loss matrix, plus the constant.)
+# --------------------------------------------------------------------------
+
+
+def cf_loss_matrix(mapping_true, Lp: int, fp: float = 1.0, fn: float = 1.0,
+                   dtype=jnp.float64):
+    """(eps [Lp+1, Lp+1] 1-based, const): pair-decomposed Hamming loss
+    against the true 0-based mapping (partner index or -1)."""
+    import numpy as np
+    eps = np.full((Lp + 1, Lp + 1), fp, np.float64)
+    npairs = 0
+    mt = np.asarray(mapping_true)
+    for i, m in enumerate(mt):
+        if m >= 0 and i < m:
+            eps[i + 1, m + 1] = -fn
+            npairs += 1
+    return jnp.asarray(eps, dtype), fn * npairs
+
+
+def cf_loss_augmented_viterbi(S, n, mapping_true, fp: float = 1.0,
+                              fn: float = 1.0, model: str = "complementary",
+                              dtype=jnp.float64, allow=None):
+    """argmax_y [score(y) + loss(y; y_true)] -- the separation oracle of
+    max-margin training (reference UseLoss + ComputeViterbi).
+
+    Returns (augmented_score, score, mapping): the loss-augmented optimum,
+    the UNAUGMENTED score of that structure, and its mapping."""
+    Lp = S.shape[0]
+    tables = get_cf_tables(model)
+    eps, const = cf_loss_matrix(mapping_true, Lp, fp, fn, dtype)
+    # deterministic tie-break on top of the loss perturbation (see
+    # cf_viterbi): keeps the gradient an exact 0/1 indicator
+    tie = 1e-9 if dtype == jnp.float64 else 1e-5
+    ia = jnp.arange(Lp + 1)
+    eps = eps + (tie * (((ia[:, None] * 31 + ia[None, :] * 17) % 997)
+                        / 997.0)).astype(dtype)
+    score_p, g = jax.value_and_grad(
+        lambda e: _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32),
+                           Lp, e, "max", allow))(eps)
+    ind = g[1:, 1:]
+    chosen_eps = jnp.sum(jnp.where(ind > 0.5, eps[1:, 1:], 0.0))
+    aug = score_p - chosen_eps + jnp.sum(
+        jnp.where(ind > 0.5,
+                  jnp.where(eps[1:, 1:] < 0, -fn, fp), 0.0)) + const
+    score = score_p - chosen_eps
+    mapping = -jnp.ones((Lp,), jnp.int32)
+    ii, jj = jnp.nonzero(ind > 0.5, size=Lp, fill_value=-1)
+    ii, jj = ii.astype(jnp.int32), jj.astype(jnp.int32)
+    mapping = mapping.at[jnp.where(ii >= 0, ii, Lp)].set(jj, mode="drop")
+    mapping = mapping.at[jnp.where(jj >= 0, jj, Lp)].set(ii, mode="drop")
+    return aug, score, mapping
+
+
+def cf_margin(S, n, mapping_true, fp: float = 1.0, fn: float = 1.0,
+              model: str = "complementary", dtype=jnp.float64, allow=None):
+    """Structured hinge loss max(0, max_y[score(y)+loss(y)] - score(y*)) --
+    the per-example objective of CONTRAfold's max-margin training mode
+    (reference Config USE_LOSS + InferenceEngine.ipp:1824)."""
+    Lp = S.shape[0]
+    tables = get_cf_tables(model)
+    # score(y*): constrained max with only the true pairs allowed AND each
+    # forced via a large eps bonus (subtracted back) -- the allow-mask alone
+    # would let the max DROP an unfavorable true pair.
+    import numpy as np
+    mt = np.asarray(mapping_true)
+    allow_true = np.zeros((Lp, Lp), bool)
+    M = 1e4
+    eps_force = np.zeros((Lp + 1, Lp + 1))
+    npairs = 0
+    for i, m in enumerate(mt):
+        if m >= 0:
+            allow_true[i, m] = True
+            if i < m:
+                eps_force[i + 1, m + 1] = M
+                npairs += 1
+    s_true = _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32), Lp,
+                      jnp.asarray(eps_force, dtype), "max",
+                      jnp.asarray(allow_true)) - M * npairs
+    aug, _, _ = cf_loss_augmented_viterbi(S, n, mapping_true, fp, fn, model,
+                                          dtype, allow)
+    return jnp.maximum(aug - s_true, 0.0)

@@ -306,3 +306,43 @@ def test_cf_stochastic_traceback_matches_posterior():
                 assert mp[mp[i]] == i
     # 3-sigma binomial tolerance at p~0.5 / N=3000 is ~0.027
     assert np.abs(freq - bpp[:n, :n]).max() < 0.04
+
+
+def test_cf_loss_augmented_viterbi():
+    """UseLoss surface (reference InferenceEngine.ipp:1824): the
+    loss-augmented optimum equals the brute-force max of score + Hamming
+    pair loss, and the hinge margin is >= the loss of the Viterbi optimum."""
+    from ractip_tpu.ops.contrafold import (cf_loss_augmented_viterbi,
+                                           cf_margin, cf_viterbi)
+    seq = "GGGAAACCCAA"
+    n = len(seq)
+    S = encode(seq, n)
+    tb = np_tables()
+    # pick a "true" structure: the Viterbi optimum of a shifted sequence --
+    # just use one enumerated structure with a pair
+    y_true = next(p for p in enum_structures(seq) if len(p) == 1)
+    mt = -np.ones(n, np.int64)
+    for a, b in y_true:
+        mt[a - 1], mt[b - 1] = b - 1, a - 1
+    fp = fn = 0.7
+
+    def loss(pairs):
+        yt = set(y_true)
+        return (fp * sum(1 for p in pairs if p not in yt)
+                + fn * sum(1 for p in yt if p not in pairs))
+
+    best = max(score_structure(tb, seq, pairs) + loss(pairs)
+               for pairs in enum_structures(seq)
+               if score_structure(tb, seq, pairs) is not None)
+    aug, score, mp = cf_loss_augmented_viterbi(S, n, mt, fp=fp, fn=fn)
+    assert float(aug) == pytest.approx(best, abs=1e-6)
+    mp = np.asarray(mp)
+    pairs = sorted((i + 1, int(mp[i]) + 1) for i in range(n)
+                   if 0 <= mp[i] and i < mp[i])
+    sc = score_structure(tb, seq, pairs)
+    assert sc == pytest.approx(float(score), abs=1e-6)
+    assert float(aug) == pytest.approx(sc + loss(pairs), abs=1e-6)
+    # hinge margin: aug - score(y_true), clamped at 0
+    s_true = score_structure(tb, seq, y_true)
+    m = cf_margin(S, n, mt, fp=fp, fn=fn)
+    assert float(m) == pytest.approx(max(0.0, best - s_true), abs=1e-6)
