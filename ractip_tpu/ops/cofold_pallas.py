@@ -34,8 +34,8 @@ from ..constants import MAXLOOP
 from ..params.boltz import BoltzTables, get_boltz
 from .cofold import CoFactors, CoInsideState
 from .mccaskill import HUGE, SCALE_E0, ZHI, ZLO, W
-from .scan_pallas import (F32, POW2, _at, _clamp, _lane_iota, _lane_write,
-                          _ldn, _lup, _pad_batch, _prefix_scan, _sig_tables,
+from .scan_pallas import (F32, POW2, _at, _clamp, _lane_iota, _ldn, _lup,
+                          _pad_batch, _prefix_scan, _sig_tables,
                           _suffix_scan, q2_pallas)
 
 CO_FIELDS = CoFactors._fields                   # 16 names (15 + fcx)
@@ -56,411 +56,15 @@ def _onehot_read(t, idx):
 # inside kernel
 # --------------------------------------------------------------------------
 
-def _co_inside_kernel(
-        fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
-        fmb, fmc, fe, fcx,                      # factor column refs (1, B, L)
-        w2k, bulge_k, sig, pows, cut,           # per-instance inputs
-        qm1c_o,                                 # cbl column stream
-        qb_o, qm_o, qm1_o, qx_o, qmT_o, q1_o,   # natural / transposed outs
-        qmS, qxS, Qb, Mb, Ab, qm1P, qxP, qxA, q1S, M5S, J1S,   # scratch
-        *, L: int, B: int, emit_state: bool):
-    j = pl.program_id(1)
-    ct = cut[:, 0:1]                            # [B, 1] int32
-    lane = _lane_iota((B, L))
-
-    @pl.when(j == 0)
-    def _init():
-        qmS[...] = jnp.zeros_like(qmS)
-        qxS[...] = jnp.zeros_like(qxS)
-        Qb[...] = jnp.zeros_like(Qb)
-        Mb[...] = jnp.zeros_like(Mb)
-        Ab[...] = jnp.zeros_like(Ab)
-        qm1P[...] = jnp.zeros_like(qm1P)
-        qxP[...] = jnp.zeros_like(qxP)
-        qxA[...] = jnp.zeros_like(qxA)
-        q1S[...] = jnp.zeros_like(q1S)
-        for d in range(W + 2):
-            M5S[d] = _m5(d, ct, lane)
-        J1S[...] = (lane != ct).astype(F32)
-
-    col = lambda r: r[0]
-    sg = sig[:, 0:1]
-    sm = pows[:, 0:1]
-    J1 = J1S[...]
-
-    # capture qxA when the scan crosses the cut: qxA[p] = qx[p, cut-1]
-    # (empty segment at p == cut -> 1, p > cut -> 0)
-    qxA_new = jnp.where(lane < ct, qxP[...],
-                        jnp.where(lane == ct, 1.0, 0.0))
-    qxA[...] = jnp.where(j == ct, qxA_new, qxA[...])
-
-    # window source mask: slot b = column j - W + b; stretch (src..j] must
-    # not cross the cut  (scalar j, per-instance cut)
-    def bm(b):
-        src = j - W + b
-        return ((src >= ct) | (j < ct)).astype(F32)
-
-    X = [Qb[b] * Mb[b] * bm(b) for b in range(W)]
-    A = [Qb[b] * Ab[b] * bm(b) for b in range(W)]
-
-    gen = jnp.zeros((B, L), F32)
-    for u1 in range(1, MAXLOOP):
-        acc = None
-        for b in range(u1, W - 1):
-            t = X[b] * _at(w2k, u1, W - 1 - b)
-            acc = t if acc is None else acc + t
-        if acc is not None:
-            gen = gen + M5S[u1 + 1] * _lup(acc, u1 + 1)
-    gen = gen * col(mout)
-
-    acol = A[W - 1]
-    b5 = jnp.zeros((B, L), F32)
-    for m in range(2, MAXLOOP + 1):
-        b5 = b5 + bulge_k[:, m:m + 1] * M5S[m + 1] * _lup(acol, m + 1)
-    b3 = jnp.zeros((B, L), F32)
-    for b in range(0, W - 2):
-        b3 = b3 + A[b] * bulge_k[:, W - 1 - b:W - b]
-    bulges = col(tau) * (b5 + M5S[1] * _lup(b3, 1))
-
-    # multiloop closing (junction gated by J1)
-    v = _lup(qm1P[...], 1) * _lup(J1, 1)
-    qm2col = jnp.zeros((B, L), F32)
-    for l in range(L - 1):
-        qm2col = qm2col + qmS[l] * v[:, l:l + 1]
-    qm2col = _clamp(qm2col)
-
-    # exposed-cut case: fcx * q(i+1, c-1) * q(c, j-1)
-    qxB = jnp.where(j > ct, _onehot_read_row(qxP[...], ct), 1.0)
-    spancol = col(fcx) * _lup(qxA[...], 1) * qxB
-
-    mlgate = (j != ct).astype(F32)
-    qbcol = (col(fhn) + gen + bulges
-             + col(pstk) * _lup(Qb[W - 1], 1)
-             + col(p11) * _lup(Qb[W - 2], 2)
-             + col(p21a) * _lup(Qb[W - 3], 2)
-             + col(p21b) * _lup(Qb[W - 2], 3)
-             + col(p22) * _lup(Qb[W - 3], 3)
-             + col(pb15) * _lup(Qb[W - 1], 2)
-             + col(pb13) * _lup(Qb[W - 2], 1)
-             + mlgate * col(fmc) * sg * sg * (M5S[1] * _lup(qm2col, 1))
-             + spancol)
-    qbcol = _clamp(qbcol)
-
-    qm1col = _clamp(mlgate * sm * qm1P[...] + qbcol * col(fmb))
-
-    # qmcol = D_cut @ qm1col + qm @ (shift(qm1col) * shift(J1))
-    vfull = _suffix_scan(qm1col, pows, L)
-    vlow = _suffix_scan(qm1col * (lane < ct).astype(F32), pows, L)
-    dterm = jnp.where(lane < ct, vlow, vfull)
-    v2 = _lup(qm1col, 1) * _lup(J1, 1)
-    ml2 = jnp.zeros((B, L), F32)
-    for l in range(L - 1):
-        ml2 = ml2 + qmS[l] * v2[:, l:l + 1]
-    qmcol = _clamp(dterm + ml2)
-
-    # exterior prefix q1
-    q1_prev = _onehot_read(q1S[...], j - 1)
-    q1_prev = jnp.where(j >= 1, q1_prev, 1.0)
-    q1pad = jnp.where(lane == 0, 1.0, _ldn(q1S[...], 1))
-    qbecol = qbcol * col(fe)
-    q1val = _clamp(sg * q1_prev
-                   + jnp.sum(q1pad * qbecol, axis=1, keepdims=True))
-    q1S[...] = jnp.where(lane == j, q1val, q1S[...])
-
-    # exterior-segment table column: qx[a, j]
-    onej = (lane == j).astype(F32)
-    qxsh = jnp.zeros((B, L), F32)
-    for k in range(1, L):
-        qxsh = qxsh + qxS[k - 1] * qbecol[:, k:k + 1]
-    qxcol = _clamp(sg * (qxP[...] + onej) + qxsh + qbecol)
-
-    # commit state + outputs
-    qmS[j] = qmcol
-    qxS[j] = qxcol
-    Qb[...] = jnp.concatenate([Qb[1:], qbcol[None]], axis=0)
-    Mb[...] = jnp.concatenate([Mb[1:], col(minn)[None]], axis=0)
-    Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
-    qm1P[...] = qm1col
-    qxP[...] = qxcol
-
-    qm1c_o[0] = qm1col
-    _lane_write(qb_o, j, qbcol)
-    if emit_state:
-        # qm/qm1 natural-layout copies are only needed by the equivalence
-        # tests; their resident blocks cost 2*L^2*B_blk*4 bytes of VMEM, so
-        # production folds of long concatenations skip them
-        _lane_write(qm_o, j, qmcol)
-        _lane_write(qm1_o, j, qm1col)
-    _lane_write(qx_o, j, qxcol)
-    _lane_write(qmT_o, j, jnp.transpose(qmcol))
-    q1_o[...] = q1S[...]
-
-
 def _onehot_read_row(t, idx_vec):
     """t[:, idx_vec[b]] per batch row -> [B, 1] (idx per-instance [B, 1])."""
     lane = _lane_iota(t.shape)
     return jnp.sum(jnp.where(lane == idx_vec, t, 0.0), axis=1, keepdims=True)
 
 
-def co_inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, cut, L: int,
-                     B: int, b_blk: int = 8, interpret: bool = False,
-                     emit_state: bool = False):
-    nb = B // b_blk
-    fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-
-    def fall(shape):
-        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
-
-    out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-    nat = pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0))
-    tT = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
-    cmat = jax.ShapeDtypeStruct((L, B, L), F32)
-    nmat = jax.ShapeDtypeStruct((B, L, L), F32)
-    if emit_state:
-        state_spec, state_shape = nat, nmat
-    else:       # unwritten dummies (VMEM-budget escape for long L)
-        state_spec = pl.BlockSpec((b_blk, 8, 128), lambda b, j: (b, 0, 0))
-        state_shape = jax.ShapeDtypeStruct((B, 8, 128), F32)
-    return pl.pallas_call(
-        functools.partial(_co_inside_kernel, L=L, B=b_blk,
-                          emit_state=emit_state),
-        grid=(nb, L),
-        in_specs=[fcol] * 16 + [fall((b_blk, W, W)), fall((b_blk, W)),
-                                fall((b_blk, 1)), fall((b_blk, POW2)),
-                                fall((b_blk, 1))],
-        out_specs=(out_col, nat, state_spec, state_spec, nat, tT,
-                   pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))),
-        out_shape=(cmat, nmat, state_shape, state_shape, nmat, cmat,
-                   jax.ShapeDtypeStruct((B, L), F32)),
-        scratch_shapes=[
-            pltpu.VMEM((L, b_blk, L), F32),     # qmS
-            pltpu.VMEM((L, b_blk, L), F32),     # qxS
-            pltpu.VMEM((W, b_blk, L), F32),     # Qb
-            pltpu.VMEM((W, b_blk, L), F32),     # Mb
-            pltpu.VMEM((W, b_blk, L), F32),     # Ab
-            pltpu.VMEM((b_blk, L), F32),        # qm1P
-            pltpu.VMEM((b_blk, L), F32),        # qxP
-            pltpu.VMEM((b_blk, L), F32),        # qxA
-            pltpu.VMEM((b_blk, L), F32),        # q1S
-            pltpu.VMEM((W + 2, b_blk, L), F32),  # M5S
-            pltpu.VMEM((b_blk, L), F32),        # J1S
-        ],
-        interpret=interpret,
-    )(*factors_cbl, w2k, bulge_k, sig, pows, cut)
-
-
 # --------------------------------------------------------------------------
 # outside kernel
 # --------------------------------------------------------------------------
-
-def _co_outside_kernel(
-        fe, fmb, fmc, mout, minn, taur, tau, fcx,      # cols at c
-        pstk1, p111, p21a1, p21b1, p221, pb151, pb131,  # cols at c+dj
-        qm1c, qm1m,                                    # qm1 cols at c, c-1
-        qmT, qxRow, q1pad, q2,                         # full inputs
-        w2k, bulge_k, sig, pows, cut,
-        ob_o,
-        omS, Ob, OMb, OAb, pendS, sm1S, vvecS, wvecS, GAS, qxAS, qBprefS,
-        M5S, J1S,
-        *, L: int, B: int):
-    j = pl.program_id(1)
-    c = L - 1 - j
-    ct = cut[:, 0:1]
-    lane = _lane_iota((B, L))
-
-    @pl.when(j == 0)
-    def _init():
-        omS[...] = jnp.zeros_like(omS)
-        Ob[...] = jnp.zeros_like(Ob)
-        OMb[...] = jnp.zeros_like(OMb)
-        OAb[...] = jnp.zeros_like(OAb)
-        pendS[...] = jnp.zeros_like(pendS)
-        sm1S[...] = jnp.zeros_like(sm1S)
-        vvecS[...] = jnp.zeros_like(vvecS)
-        wvecS[...] = jnp.zeros_like(wvecS)
-        GAS[...] = jnp.zeros_like(GAS)
-        for d in range(W + 2):
-            M5S[d] = _m5(d, ct, lane)
-        J1S[...] = (lane != ct).astype(F32)
-        # qxA[p] = qx[p, cut-1] (p<cut), 1 at p==cut, 0 beyond
-        qx_full = qxRow[...]                    # [B, L, L]
-        lcol = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 2)
-        qxa = jnp.sum(jnp.where(lcol == (ct - 1)[:, :, None], qx_full, 0.0),
-                      axis=2)
-        qxAS[...] = jnp.where(lane < ct, qxa,
-                              jnp.where(lane == ct, 1.0, 0.0))
-        # qBpref[k] = qx(cut, k-1) (empty prefix at k==cut -> 1; 0 below cut)
-        irow = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 1)
-        qbrow = jnp.sum(jnp.where(irow == ct[:, :, None], qx_full, 0.0),
-                        axis=1)                 # [B, L] = qx[cut, :]
-        qbp = jnp.where(lane == ct, 1.0, _ldn(qbrow, 1))
-        qBprefS[...] = jnp.where(lane >= ct, qbp, 0.0)
-
-    col = lambda r: r[0]
-    sg = sig[:, 0:1]
-    sm = pows[:, 0:1]
-    J1 = J1S[...]
-
-    omcol = omS[c]
-    qmt = jnp.zeros((B, L), F32)
-    for i in range(L):
-        qmt = qmt + qmT[i] * omcol[:, i:i + 1]
-    # D_cut.T @ omcol: prefix scan split at the cut
-    pfull = _prefix_scan(omcol, pows, L)
-    phigh = _prefix_scan(omcol * (lane >= ct).astype(F32), pows, L)
-    dterm = jnp.where(lane < ct, pfull, phigh)
-    om1col = pendS[...] + dterm + J1 * _ldn(qmt, 1)
-    sm1gate = (c + 1 != ct).astype(F32)
-    sm1 = om1col + sm1gate * sm * sm1S[...]
-    sm1S[...] = sm1
-
-    q2c1 = _onehot_read(q2[...], c + 1)
-    obcol = q1pad[...] * col(fe) * q2c1
-    obcol = obcol + col(fmb) * sm1
-
-    # window source mask (mirror): outer col s = c+1+b must not cross
-    def bm(b):
-        src = c + 1 + b
-        return ((c >= ct) | (src < ct)).astype(F32)
-
-    OM = [OMb[b] * bm(b) for b in range(W)]
-    OA = [OAb[b] * bm(b) for b in range(W)]
-
-    gen = jnp.zeros((B, L), F32)
-    for u1 in range(1, MAXLOOP):
-        acc = None
-        for b in range(1, MAXLOOP + 1 - u1):
-            t = OM[b] * _at(w2k, u1, b)
-            acc = t if acc is None else acc + t
-        if acc is not None:
-            gen = gen + _ldn(M5S[u1 + 1] * acc, u1 + 1)
-    obcol = obcol + gen * col(minn)
-
-    oa1 = OA[0]
-    b5 = jnp.zeros((B, L), F32)
-    for m in range(2, MAXLOOP + 1):
-        b5 = b5 + bulge_k[:, m:m + 1] * _ldn(M5S[m + 1] * oa1, m + 1)
-    b3 = jnp.zeros((B, L), F32)
-    for b in range(2, W):
-        b3 = b3 + OA[b] * bulge_k[:, b:b + 1]
-    b3 = M5S[1] * b3
-    obcol = obcol + col(taur) * (b5 + _ldn(b3, 1))
-
-    for ref, di, dj in ((pstk1, 1, 1), (p111, 2, 2), (p21a1, 2, 3),
-                        (p21b1, 3, 2), (p221, 3, 3), (pb151, 2, 1),
-                        (pb131, 1, 2)):
-        pc = jnp.where(c + dj < L, col(ref), 0.0)
-        obcol = obcol + _ldn(pc * Ob[dj - 1], di)
-
-    # exposed-segment adjoints -------------------------------------------
-    # strand-B branch (k, c), c >= cut: fe * qBpref * H_B(c)
-    qrow = qxRow[:, jnp.minimum(c + 1, L - 1), :]       # [B, L]
-    hb = jnp.sum(_lup(vvecS[...], 1) * qrow, axis=1, keepdims=True)
-    hb = hb + jnp.where(c + 1 < L, _onehot_read(vvecS[...], c + 1), 0.0)
-    obcol = obcol + jnp.where(c >= ct, hb, 0.0) * col(fe) * qBprefS[...]
-
-    # strand-A branch (k, c), c < cut: fe * GA * q(c+1, cut-1)
-    # (GA is built once per instance when its scan crosses the cut)
-    @pl.when(jnp.any((c + 1 == ct[:, 0]) & (ct[:, 0] > 0)))
-    def _build_ga():
-        # wvec is complete for the crossing instances: GA[k] =
-        # sum_i wvec[i] * qx(i+1, k-1) + wvec[k-1]
-        ga = _ldn(wvecS[...], 1)
-        wv = wvecS[...]
-        for i in range(L - 1):
-            ga = ga + wv[:, i:i + 1] * _ldn(qxRow[:, i + 1, :], 1)
-        GAS[...] = jnp.where(c + 1 == ct, ga, GAS[...])
-
-    qseg = _onehot_read(qxAS[...], c + 1)               # q(c+1, cut-1)
-    obcol = obcol + jnp.where(c < ct, qseg, 0.0) * col(fe) * GAS[...]
-    obcol = _clamp(obcol)
-
-    # --- scatters feeding later steps -----------------------------------
-    mlgate = (c != ct).astype(F32)
-    a = M5S[1] * (obcol * col(fmc) * sg * sg * mlgate)
-    ash = _ldn(a, 1)
-    qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
-    w1 = _lup(qm1_cm1, 1) * _lup(J1, 1)
-    w2_ = _lup(col(qm1c), 1) * _lup(J1, 1)
-    for m in range(L):
-        omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
-
-    qmt2 = jnp.zeros((B, L), F32)
-    for i in range(L):
-        qmt2 = qmt2 + qmT[i] * ash[:, i:i + 1]
-    pendS[...] = J1 * _ldn(qmt2, 1)
-
-    # spanning-pair adjoint accumulators (columns >= cut only)
-    vval = jnp.sum(obcol * col(fcx) * _lup(qxAS[...], 1), axis=1,
-                   keepdims=True)
-    vval = jnp.where(c >= ct, vval, 0.0)
-    vvecS[...] = jnp.where(lane == c, vval, vvecS[...])
-    qxBr_c = _onehot_read(qBprefS[...], c)      # qx(cut, c-1)
-    wvecS[...] = wvecS[...] + jnp.where(c >= ct, 1.0, 0.0) \
-        * obcol * col(fcx) * qxBr_c
-
-    Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
-    OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
-    OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
-    _lane_write(ob_o, c, obcol)
-
-
-def co_outside_pallas(factors_cbl, qmT, qm1_cbl, qx, q1pad, q2, w2k,
-                      bulge_k, sig, pows, cut, L: int, B: int,
-                      b_blk: int = 8, interpret: bool = False):
-    """qx arrives in natural [B, L, L] layout (row reads in-kernel); qmT in
-    (L_i, B, L_cols) as emitted by co_inside_pallas.  Returns ob natural."""
-    nb = B // b_blk
-    ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
-
-    def ahead(dj):
-        return pl.BlockSpec(
-            (1, b_blk, L),
-            lambda b, j: (jnp.minimum(L - 1 - j + dj, L - 1), b, 0))
-
-    def fall(shape):
-        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
-
-    f = dict(zip(CO_FIELDS, factors_cbl))
-    ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
-           f["tau"], f["fcx"], f["pstk"], f["p11"], f["p21a"], f["p21b"],
-           f["p22"], f["pb15"], f["pb13"], qm1_cbl, qm1_cbl, qmT, qx,
-           q1pad, q2, w2k, bulge_k, sig, pows, cut]
-    in_specs = ([ccol] * 8
-                + [ahead(dj) for dj in (1, 2, 3, 2, 3, 1, 2)]
-                + [ccol,
-                   pl.BlockSpec((1, b_blk, L),
-                                lambda b, j: (jnp.maximum(L - 2 - j, 0), b, 0)),
-                   pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0)),
-                   pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
-                   fall((b_blk, L)), fall((b_blk, L + 1)),
-                   fall((b_blk, W, W)), fall((b_blk, W)), fall((b_blk, 1)),
-                   fall((b_blk, POW2)), fall((b_blk, 1))])
-
-    return pl.pallas_call(
-        functools.partial(_co_outside_kernel, L=L, B=b_blk),
-        grid=(nb, L),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, L), F32),
-        scratch_shapes=[
-            pltpu.VMEM((L, b_blk, L), F32),     # omS
-            pltpu.VMEM((W, b_blk, L), F32),     # Ob
-            pltpu.VMEM((W, b_blk, L), F32),     # OMb
-            pltpu.VMEM((W, b_blk, L), F32),     # OAb
-            pltpu.VMEM((b_blk, L), F32),        # pendS
-            pltpu.VMEM((b_blk, L), F32),        # sm1S
-            pltpu.VMEM((b_blk, L), F32),        # vvecS
-            pltpu.VMEM((b_blk, L), F32),        # wvecS
-            pltpu.VMEM((b_blk, L), F32),        # GAS
-            pltpu.VMEM((b_blk, L), F32),        # qxAS
-            pltpu.VMEM((b_blk, L), F32),        # qBprefS
-            pltpu.VMEM((W + 2, b_blk, L), F32),  # M5S
-            pltpu.VMEM((b_blk, L), F32),        # J1S
-        ],
-        interpret=interpret,
-    )(*ins)
-
 
 # --------------------------------------------------------------------------
 # streamed-state kernels (long concatenations, L1+L2 > 320)
@@ -485,10 +89,22 @@ def _co_inside_kernel_streamed(
         qm1c_o, qb_o, qm_o, qx_o,               # column streams (1, B, L)
         q1_o,                                   # resident (B, L)
         qmS, qxS, Qb, Mb, Ab, qm1P, qxP, qxA, q1S, M5S, J1S,
-        *, L: int, B: int):
+        *, L: int, B: int, unroll: bool = False):
     j = pl.program_id(1)
     ct = cut[:, 0:1]
     lane = _lane_iota((B, L))
+
+    def contract(ref, v):
+        # acc[b, i] = sum_l ref[l, b, i] * v[b, l]; every call site passes v
+        # shifted up one lane (v[:, L-1] == 0), so the unrolled sum stops at
+        # L-2.  unroll=True (short L) avoids the dynamic-slice + lane-roll
+        # cost of the chunked scan (see RESULTS round 5).
+        if not unroll:
+            return _contract_scan(ref, v, L, B)
+        acc = jnp.zeros((B, L), F32)
+        for l in range(L - 1):
+            acc = acc + ref[l] * v[:, l:l + 1]
+        return acc
 
     @pl.when(j == 0)
     def _init():
@@ -541,7 +157,7 @@ def _co_inside_kernel_streamed(
     bulges = col(tau) * (b5 + M5S[1] * _lup(b3, 1))
 
     v = _lup(qm1P[...], 1) * _lup(J1, 1)
-    qm2col = _clamp(_contract_scan(qmS, v, L, B))
+    qm2col = _clamp(contract(qmS, v))
 
     qxB = jnp.where(j > ct, _onehot_read_row(qxP[...], ct), 1.0)
     spancol = col(fcx) * _lup(qxA[...], 1) * qxB
@@ -565,7 +181,7 @@ def _co_inside_kernel_streamed(
     vlow = _suffix_scan(qm1col * (lane < ct).astype(F32), pows, L)
     dterm = jnp.where(lane < ct, vlow, vfull)
     v2 = _lup(qm1col, 1) * _lup(J1, 1)
-    ml2 = _contract_scan(qmS, v2, L, B)
+    ml2 = contract(qmS, v2)
     qmcol = _clamp(dterm + ml2)
 
     q1_prev = _onehot_read(q1S[...], j - 1)
@@ -577,7 +193,7 @@ def _co_inside_kernel_streamed(
     q1S[...] = jnp.where(lane == j, q1val, q1S[...])
 
     # qxsh[i] = sum_k qxS[k-1, :, i] * qbecol[:, k]
-    qxsh = _contract_scan(qxS, _lup(qbecol, 1), L, B)
+    qxsh = contract(qxS, _lup(qbecol, 1))
     onej = (lane == j).astype(F32)
     qxcol = _clamp(sg * (qxP[...] + onej) + qxsh + qbecol)
 
@@ -598,17 +214,18 @@ def _co_inside_kernel_streamed(
 
 def co_inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, cut,
                               L: int, B: int, b_blk: int,
-                              interpret: bool = False):
+                              interpret: bool = False, unroll: bool = False):
     """Streamed inside pass: returns (qm1_c, qb_c, qm_c, qx_c, q1), the
-    first four in column-stream (L_cols, B, L_i) layout."""
-    assert L % 8 == 0, (
+    first four in column-stream (L_cols, B, L_i) layout.  unroll=True
+    statically unrolls the contractions (fast for short L)."""
+    assert unroll or L % 8 == 0, (
         f"streamed kernels contract in chunks of 8: pad L={L} to a "
         f"multiple of 8 (pipeline callers bucket to multiples of 32)")
     from .scan_pallas import _chunk_batch
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
             lambda cbl, row: co_inside_pallas_streamed(
-                cbl, *row, L, b_blk, b_blk, interpret),
+                cbl, *row, L, b_blk, b_blk, interpret, unroll),
             b_blk, B, tuple(factors_cbl),
             (w2k, bulge_k, sig, pows, cut), 4)
     nb = B // b_blk
@@ -619,7 +236,8 @@ def co_inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, cut,
 
     cmat = jax.ShapeDtypeStruct((L, B, L), F32)
     return pl.pallas_call(
-        functools.partial(_co_inside_kernel_streamed, L=L, B=b_blk),
+        functools.partial(_co_inside_kernel_streamed, L=L, B=b_blk,
+                          unroll=unroll),
         grid=(nb, L),
         in_specs=[fcol] * 16 + [fall((b_blk, W, W)), fall((b_blk, W)),
                                 fall((b_blk, 1)), fall((b_blk, POW2)),
@@ -653,11 +271,21 @@ def _co_outside_kernel_streamed(
         w2k, bulge_k, sig, pows, cut,
         ob_o,                                   # column stream (1, B, L)
         omS, Ob, OMb, OAb, pendS, sm1S, vvecS, wvecS, GAS, M5S, J1S,
-        *, L: int, B: int):
+        *, L: int, B: int, unroll: bool = False):
     j = pl.program_id(1)
     c = L - 1 - j
     ct = cut[:, 0:1]
     lane = _lane_iota((B, L))
+
+    def contract(ref, v):
+        # acc[b, i] = sum_l ref[l, b, i] * v[b, l] over the FULL l range
+        # (callers pass unshifted vectors here).
+        if not unroll:
+            return _contract_scan(ref, v, L, B)
+        acc = jnp.zeros((B, L), F32)
+        for i in range(L):
+            acc = acc + ref[i] * v[:, i:i + 1]
+        return acc
 
     @pl.when(j == 0)
     def _init():
@@ -682,7 +310,7 @@ def _co_outside_kernel_streamed(
     qBprefS = qBin[...]
 
     omcol = omS[c]
-    qmt = _contract_scan(qmT, omcol, L, B)
+    qmt = contract(qmT, omcol)
     pfull = _prefix_scan(omcol, pows, L)
     phigh = _prefix_scan(omcol * (lane >= ct).astype(F32), pows, L)
     dterm = jnp.where(lane < ct, pfull, phigh)
@@ -737,7 +365,7 @@ def _co_outside_kernel_streamed(
     @pl.when(jnp.any((c + 1 == ct[:, 0]) & (ct[:, 0] > 0)))
     def _build_ga():
         wv = wvecS[...]
-        inner = _contract_scan(qxT, _ldn(wv, 1), L, B)
+        inner = contract(qxT, _ldn(wv, 1))
         ga = _ldn(wv, 1) + _ldn(inner, 1)
         GAS[...] = jnp.where(c + 1 == ct, ga, GAS[...])
 
@@ -751,9 +379,13 @@ def _co_outside_kernel_streamed(
     qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
     w1 = _lup(qm1_cm1, 1) * _lup(J1, 1)
     w2_ = _lup(col(qm1c), 1) * _lup(J1, 1)
-    _scatter_rank1_scan(omS, ash, w1, omcol, w2_, L, B)
+    if unroll:
+        for m in range(L):
+            omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
+    else:
+        _scatter_rank1_scan(omS, ash, w1, omcol, w2_, L, B)
 
-    qmt2 = _contract_scan(qmT, ash, L, B)
+    qmt2 = contract(qmT, ash)
     pendS[...] = J1 * _ldn(qmt2, 1)
 
     vval = jnp.sum(obcol * col(fcx) * _lup(qxAS, 1), axis=1, keepdims=True)
@@ -772,11 +404,11 @@ def _co_outside_kernel_streamed(
 def co_outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, qxT, qxA, qBpref,
                                q1pad, q2, w2k, bulge_k, sig, pows, cut,
                                L: int, B: int, b_blk: int,
-                               interpret: bool = False):
+                               interpret: bool = False, unroll: bool = False):
     """Streamed outside pass.  qxT: qx in (L_i, B, L_cols) layout; qxA/qBpref
     precomputed [B, L] exterior-segment vectors.  Returns ob in column-stream
     (L_cols, B, L_i) layout."""
-    assert L % 8 == 0, (
+    assert unroll or L % 8 == 0, (
         f"streamed kernels contract in chunks of 8: pad L={L} to a "
         f"multiple of 8 (pipeline callers bucket to multiples of 32)")
     from .scan_pallas import _chunk_batch
@@ -784,7 +416,7 @@ def co_outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, qxT, qxA, qBpref,
         return _chunk_batch(
             lambda cbl, row: (co_outside_pallas_streamed(
                 cbl[:-3], cbl[-3], cbl[-2], cbl[-1], *row, L, b_blk, b_blk,
-                interpret),),
+                interpret, unroll),),
             b_blk, B, tuple(factors_cbl) + (qmT, qm1_cbl, qxT),
             (qxA, qBpref, q1pad, q2, w2k, bulge_k, sig, pows, cut), 1)[0]
     nb = B // b_blk
@@ -816,7 +448,8 @@ def co_outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, qxT, qxA, qBpref,
                    fall((b_blk, POW2)), fall((b_blk, 1))])
 
     return pl.pallas_call(
-        functools.partial(_co_outside_kernel_streamed, L=L, B=b_blk),
+        functools.partial(_co_outside_kernel_streamed, L=L, B=b_blk,
+                          unroll=unroll),
         grid=(nb, L),
         in_specs=in_specs,
         out_specs=ccol,
@@ -841,10 +474,8 @@ def co_outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, qxT, qxA, qBpref,
 def _co_streamed_b_blk(L: int) -> int:
     """b_blk keeping the three (L, b, L) resident f32 buffers of the streamed
     cofold outside pass (omS + qmT + qxT) within ~13 MB."""
-    b = 8
-    while b > 1 and 12 * b * L * L > 13e6:
-        b //= 2
-    return b
+    from .scan_pallas import _auto_b_blk
+    return _auto_b_blk(L, 1 << 30, 12 * L * L, budget=13e6, b_max=8)
 
 
 # --------------------------------------------------------------------------
@@ -887,24 +518,19 @@ def _co_inside_once(bt, S, n, cut, es, b_blk, interpret, allow,
     w2k, bulge_k, pows = _sig_tables(bt, sig)
     fcbl = tuple(getattr(ffc, f) for f in CO_FIELDS)
     cut2 = cut[:, None].astype(jnp.int32)
-    if streamed:
-        qm1_c, qb_c, qm_c, qx_c, q1 = co_inside_pallas_streamed(
-            fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk,
-            interpret)
-        qb, qx = _from_cbl(qb_c), _from_cbl(qx_c)
-        qm = _from_cbl(qm_c)
-        qm1 = _from_cbl(qm1_c) if emit_state else jnp.zeros((B, 0, 0), F32)
-        qmT = jnp.transpose(qm, (1, 0, 2))
-        if not emit_state:
-            qm = jnp.zeros((B, 0, 0), F32)
+    qm1_c, qb_c, qm_c, qx_c, q1 = co_inside_pallas_streamed(
+        fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk,
+        interpret, unroll=not streamed)
+    qb, qx = _from_cbl(qb_c), _from_cbl(qx_c)
+    qm = _from_cbl(qm_c)
+    qmT = jnp.transpose(qm, (1, 0, 2))
+    if emit_state:
+        qm1 = _from_cbl(qm1_c)
     else:
-        qm1_c, qb, qm, qm1, qx, qmT, q1 = co_inside_pallas(
-            fcbl, w2k, bulge_k, sig[:, None], pows, cut2, L, B, b_blk,
-            interpret, emit_state)
-        if not emit_state:
-            # qm/qm1 outputs are unwritten dummies; keep empty placeholders
-            # so the adaptive while_loop carry stays well-defined
-            qm = qm1 = jnp.zeros((B, 0, 0), F32)
+        # natural-layout qm/qm1 copies are only compared by the equivalence
+        # tests; keep empty placeholders so the adaptive while_loop carry
+        # stays well-defined
+        qm = qm1 = jnp.zeros((B, 0, 0), F32)
     zn = jnp.take_along_axis(q1, jnp.maximum(n[:, None] - 1, 0), axis=1)[:, 0]
     qbe = qb * ffn.fe
     q2 = q2_pallas(qbe, sig[:, None], n[:, None].astype(jnp.int32), L, B,
@@ -932,14 +558,22 @@ def batch_cofold(params, S1, S2, n1, n2, b_blk: int | None = None,
     emit_state=True additionally materializes qm/qm1 in natural layout (the
     equivalence tests compare them); production folds skip them so the
     resident VMEM state supports concatenations up to L1+L2 ~ 300."""
+    from .scan_pallas import _auto_b_blk
     bt = get_boltz(params)
+    Lc = S1.shape[1] + S2.shape[1]
     if streamed is None:
-        streamed = S1.shape[1] + S2.shape[1] > 320
+        # the unrolled kernel's Mosaic stack exceeds scoped VMEM above
+        # Lc=256 even at b_blk=8 (TPU-measured round 5), so the chunked
+        # streamed variant takes over earlier than the fold kernel
+        streamed = Lc > 256
     if b_blk is None:
-        b_blk = _co_streamed_b_blk(S1.shape[1] + S2.shape[1]) if streamed \
-            else 8
+        # 30*L^2 bytes/sublane: empirical fit (b=16 OOMs at Lc=192,
+        # b=8 compiles at Lc=256)
+        b_blk = (_co_streamed_b_blk(Lc) if streamed
+                 else _auto_b_blk(Lc, S1.shape[0], 30 * Lc * Lc,
+                                  budget=15e6))
     elif streamed:
-        b_blk = min(b_blk, _co_streamed_b_blk(S1.shape[1] + S2.shape[1]))
+        b_blk = min(b_blk, _co_streamed_b_blk(Lc))
     B0, L1 = S1.shape
     L2 = S2.shape[1]
     B = -(-B0 // b_blk) * b_blk
@@ -987,33 +621,27 @@ def batch_cofold(params, S1, S2, n1, n2, b_blk: int | None = None,
     fcbl = tuple(getattr(aux["ffc"], f) for f in CO_FIELDS)
     q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
     cut2 = cut[:, None].astype(jnp.int32)
-    if streamed:
-        # precomputed exterior-segment vectors (built in-kernel at _init by
-        # the resident variant): qxA[p] = qx[p, cut-1], qBpref[k] = qx[cut, k-1]
-        lanes = jnp.arange(L)[None, :]
-        qxa = jnp.take_along_axis(
-            ins.qx, jnp.maximum(cut - 1, 0)[:, None, None]
-            * jnp.ones((1, L, 1), jnp.int32), axis=2)[:, :, 0]
-        qxA = jnp.where(lanes < cut[:, None], qxa,
-                        jnp.where(lanes == cut[:, None], 1.0, 0.0))
-        qbrow = jnp.take_along_axis(
-            ins.qx, jnp.minimum(cut, L - 1)[:, None, None]
-            * jnp.ones((1, 1, L), jnp.int32), axis=1)[:, 0, :]
-        qbp = jnp.where(lanes == cut[:, None], 1.0,
-                        jnp.concatenate([jnp.zeros((B, 1), F32),
-                                         qbrow[:, :-1]], axis=1))
-        qBpref = jnp.where(lanes >= cut[:, None], qbp, 0.0)
-        qxT = jnp.transpose(ins.qx, (1, 0, 2))
-        ob_c = co_outside_pallas_streamed(
-            fcbl, aux["qmT"], aux["qm1_c"], qxT, qxA, qBpref, q1pad, ins.q2,
-            aux["w2k"], aux["bulge_k"], sig[:, None], aux["pows"], cut2,
-            L, B, b_blk, interpret)
-        ob = _from_cbl(ob_c)
-    else:
-        ob = co_outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], ins.qx,
-                               q1pad, ins.q2, aux["w2k"], aux["bulge_k"],
-                               sig[:, None], aux["pows"], cut2, L, B, b_blk,
-                               interpret)
+    # precomputed exterior-segment vectors: qxA[p] = qx[p, cut-1],
+    # qBpref[k] = qx[cut, k-1]
+    lanes = jnp.arange(L)[None, :]
+    qxa = jnp.take_along_axis(
+        ins.qx, jnp.maximum(cut - 1, 0)[:, None, None]
+        * jnp.ones((1, L, 1), jnp.int32), axis=2)[:, :, 0]
+    qxA = jnp.where(lanes < cut[:, None], qxa,
+                    jnp.where(lanes == cut[:, None], 1.0, 0.0))
+    qbrow = jnp.take_along_axis(
+        ins.qx, jnp.minimum(cut, L - 1)[:, None, None]
+        * jnp.ones((1, 1, L), jnp.int32), axis=1)[:, 0, :]
+    qbp = jnp.where(lanes == cut[:, None], 1.0,
+                    jnp.concatenate([jnp.zeros((B, 1), F32),
+                                     qbrow[:, :-1]], axis=1))
+    qBpref = jnp.where(lanes >= cut[:, None], qbp, 0.0)
+    qxT = jnp.transpose(ins.qx, (1, 0, 2))
+    ob_c = co_outside_pallas_streamed(
+        fcbl, aux["qmT"], aux["qm1_c"], qxT, qxA, qBpref, q1pad, ins.q2,
+        aux["w2k"], aux["bulge_k"], sig[:, None], aux["pows"], cut2,
+        L, B, b_blk, interpret, unroll=not streamed)
+    ob = _from_cbl(ob_c)
     zn = ins.zn
     bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
                     0.0)

@@ -11,16 +11,24 @@ tiles (batch in sublanes, sequence position in lanes).
 
 Layout contract
 ---------------
-* streamed matrices (factors, qm1 for the outside pass, DP outputs) use the
-  column-first layout (L_cols, B, L_i): BlockSpec (1, b_blk, L) satisfies the
-  Mosaic rule that a block's last two dims are (multiple-of-8, full-dim) and
-  delivers column j as a [b_blk, L] tile per grid step;
+* streamed matrices (factors, qm1 for the outside pass, ALL [B, L, L]
+  outputs) use the column-first layout (L_cols, B, L_i): BlockSpec
+  (1, b_blk, L) satisfies the Mosaic rule that a block's last two dims are
+  (multiple-of-8, full-dim) and delivers/commits column j as a [b_blk, L]
+  tile per grid step; natural [B, L_i, L_cols] layouts are restored by ONE
+  XLA transpose outside the kernel (measured round 5: streaming outputs
+  instead of resident dual-layout blocks + per-column lane blends is ~10%
+  faster AND frees the VMEM that previously capped b_blk at 8);
 * the in-kernel resident qm is scratch (L_cols, b_blk, L_i) so contractions
-  read qmS[l] via a static leading index -- the sums over l are STATICALLY
-  UNROLLED (the body is one column, so the unroll compiles once and runs for
-  every grid step);
+  read qmS[l] via a static leading index -- for short L the sums over l are
+  STATICALLY UNROLLED (unroll=True; the body is one column, so the unroll
+  compiles once and runs for every grid step); for long L they run as
+  chunked fori_loops whose compile time stays flat in L;
 * per-instance values (sigma, the w2/bulge kernels, (sigma*ml_base)^(2^k))
-  are [B, ...] inputs broadcast across lanes.
+  are [B, ...] inputs broadcast across lanes;
+* b_blk (batch sublane depth per grid step) is auto-chosen by _auto_b_blk:
+  deeper blocks amortize per-grid-step pipeline overhead against the
+  Mosaic scoped-VMEM ceiling.
 
 Semantics are IDENTICAL to ops.mccaskill.inside/outside (probability source
 of the reference: Vienna pf_fold with BL* tables, reference
@@ -111,167 +119,6 @@ def _from_cbl(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(m, (1, 2, 0))
 
 
-def _lane_write(ref, j, val):
-    """Blend-write val (one lane-column) at lane j of a resident out block.
-
-    Used for dual-layout outputs: the natural-layout [.., .., L_cols] output
-    block has a constant block index, stays VMEM-resident across the column
-    grid, and receives column j via a one-hot lane blend (Mosaic-safe
-    alternative to a dynamic minor-dim store)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, ref.shape, len(ref.shape) - 1)
-    ref[...] = jnp.where(lane == j, val[..., None], ref[...])
-
-
-# --------------------------------------------------------------------------
-# inside kernel
-# --------------------------------------------------------------------------
-
-def _inside_kernel(
-        fhn, pstk, p11, p21a, p21b, p22, pb15, pb13, tau, taur, mout, minn,
-        fmb, fmc, fe,                           # factor column refs (1, B, L)
-        w2k, bulge_k, sig, pows,                # (B,W,W), (B,W), (B,1), (B,P)
-        qm1c_o,                                 # cbl column stream (outside in)
-        qb_o, qm_o, qm1_o, qm2_o, qmT_o, q1_o,  # natural / transposed outs
-        qmS, Qb, Mb, Ab, qm1P, q1S,             # scratch
-        *, L: int, B: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        qmS[...] = jnp.zeros_like(qmS)
-        Qb[...] = jnp.zeros_like(Qb)
-        Mb[...] = jnp.zeros_like(Mb)
-        Ab[...] = jnp.zeros_like(Ab)
-        qm1P[...] = jnp.zeros_like(qm1P)
-        q1S[...] = jnp.zeros_like(q1S)
-
-    col = lambda r: r[0]
-    sg = sig[:, 0:1]                            # [B, 1]
-    sm = pows[:, 0:1]                           # smlb^1
-
-    # window tiles (slot b <-> column j - W + b)
-    X = [Qb[b] * Mb[b] for b in range(W)]
-    A = [Qb[b] * Ab[b] for b in range(W)]
-
-    # generic interior loops: gen[i] = mout * sum_{u1,b} X[i+1+u1, b] *
-    # w2k[u1, W-1-b]  (mirrors ops.mccaskill.inside's u1 loop)
-    gen = jnp.zeros((B, L), F32)
-    for u1 in range(1, MAXLOOP):
-        acc = None
-        for b in range(u1, W - 1):              # u2 = W-1-b in [1, 30-u1]
-            t = X[b] * _at(w2k, u1, W - 1 - b)
-            acc = t if acc is None else acc + t
-        if acc is not None:
-            gen = gen + _lup(acc, u1 + 1)
-    gen = gen * col(mout)
-
-    # bulges m >= 2
-    acol = A[W - 1]
-    b5 = jnp.zeros((B, L), F32)
-    for m in range(2, MAXLOOP + 1):
-        b5 = b5 + bulge_k[:, m:m + 1] * _lup(acol, m + 1)
-    b3 = jnp.zeros((B, L), F32)
-    for b in range(0, W - 2):                   # m = W-1-b in [2, 30]
-        b3 = b3 + A[b] * bulge_k[:, W - 1 - b:W - b]
-    bulges = col(tau) * (b5 + _lup(b3, 1))
-
-    # multiloop closing: qm2col[i] = sum_l qm[i, l] * qm1_prev[l + 1]
-    v = _lup(qm1P[...], 1)
-    qm2col = jnp.zeros((B, L), F32)
-    for l in range(L - 1):                      # v[:, L-1] = 0
-        qm2col = qm2col + qmS[l] * v[:, l:l + 1]
-    qm2col = _clamp(qm2col)
-
-    qbcol = (col(fhn) + gen + bulges
-             + col(pstk) * _lup(Qb[W - 1], 1)
-             + col(p11) * _lup(Qb[W - 2], 2)
-             + col(p21a) * _lup(Qb[W - 3], 2)
-             + col(p21b) * _lup(Qb[W - 2], 3)
-             + col(p22) * _lup(Qb[W - 3], 3)
-             + col(pb15) * _lup(Qb[W - 1], 2)
-             + col(pb13) * _lup(Qb[W - 2], 1)
-             + col(fmc) * sg * sg * _lup(qm2col, 1))
-    qbcol = _clamp(qbcol)
-
-    qm1col = _clamp(sm * qm1P[...] + qbcol * col(fmb))
-
-    # qmcol = D @ qm1col + sum_l qm[i, l] * qm1col[l + 1]
-    v2 = _lup(qm1col, 1)
-    ml2 = jnp.zeros((B, L), F32)
-    for l in range(L - 1):
-        ml2 = ml2 + qmS[l] * v2[:, l:l + 1]
-    qmcol = _clamp(_suffix_scan(qm1col, pows, L) + ml2)
-
-    # exterior prefix q1 (one-hot lane addressing for the dynamic index j)
-    lane = _lane_iota((B, L))
-    q1_prev = jnp.sum(jnp.where(lane == j - 1, q1S[...], 0.0), axis=1,
-                      keepdims=True)
-    q1_prev = jnp.where(j >= 1, q1_prev, 1.0)
-    q1pad = jnp.where(lane == 0, 1.0, _ldn(q1S[...], 1))
-    q1val = _clamp(sg * q1_prev
-                   + jnp.sum(q1pad * qbcol * col(fe), axis=1, keepdims=True))
-    q1S[...] = jnp.where(lane == j, q1val, q1S[...])
-
-    # commit state + outputs
-    qmS[j] = qmcol
-    Qb[...] = jnp.concatenate([Qb[1:], qbcol[None]], axis=0)
-    Mb[...] = jnp.concatenate([Mb[1:], col(minn)[None]], axis=0)
-    Ab[...] = jnp.concatenate([Ab[1:], col(taur)[None]], axis=0)
-    qm1P[...] = qm1col
-
-    qm1c_o[0] = qm1col
-    _lane_write(qb_o, j, qbcol)
-    _lane_write(qm_o, j, qmcol)
-    _lane_write(qm1_o, j, qm1col)
-    _lane_write(qm2_o, jnp.maximum(j - 1, 0), qm2col)
-    _lane_write(qmT_o, j, jnp.transpose(qmcol))
-    q1_o[...] = q1S[...]          # constant-index block: final step wins
-
-
-def inside_pallas(factors_cbl, w2k, bulge_k, sig, pows, L: int, B: int,
-                  b_blk: int = 8, interpret: bool = False):
-    """Batched inside pass.
-
-    factors_cbl: 15 arrays in (L_cols, B, L_i) layout.  Returns
-    (qm1_cbl, qb, qm, qm1, qm2, qmT, q1) -- qb/qm/qm1/qm2 in NATURAL
-    [B, L_i, L_cols] layout (lane-blend dual emission), qmT in (L_i, B,
-    L_cols) for the outside kernel's row contractions, q1 [B, L].  qm2's
-    last column is left for the caller (as in ops.mccaskill.inside).
-    """
-    nb = B // b_blk
-    fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-
-    def fall(shape):
-        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
-
-    out_col = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
-    nat = pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0))
-    tT = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
-    q1_full = pl.BlockSpec((b_blk, L), lambda b, j: (b, 0))
-
-    kernel = functools.partial(_inside_kernel, L=L, B=b_blk)
-    cmat = jax.ShapeDtypeStruct((L, B, L), F32)
-    nmat = jax.ShapeDtypeStruct((B, L, L), F32)
-    return pl.pallas_call(
-        kernel,
-        grid=(nb, L),
-        in_specs=[fcol] * 15 + [fall((b_blk, W, W)), fall((b_blk, W)),
-                                fall((b_blk, 1)), fall((b_blk, POW2))],
-        out_specs=(out_col, nat, nat, nat, nat, tT, q1_full),
-        out_shape=(cmat, nmat, nmat, nmat, nmat, cmat,
-                   jax.ShapeDtypeStruct((B, L), F32)),
-        scratch_shapes=[
-            pltpu.VMEM((L, b_blk, L), F32),     # qmS
-            pltpu.VMEM((W, b_blk, L), F32),     # Qb
-            pltpu.VMEM((W, b_blk, L), F32),     # Mb
-            pltpu.VMEM((W, b_blk, L), F32),     # Ab
-            pltpu.VMEM((b_blk, L), F32),        # qm1P
-            pltpu.VMEM((b_blk, L), F32),        # q1S
-        ],
-        interpret=interpret,
-    )(*factors_cbl, w2k, bulge_k, sig, pows)
-
-
 # --------------------------------------------------------------------------
 # q2 (exterior suffix) kernel
 # --------------------------------------------------------------------------
@@ -318,169 +165,19 @@ def q2_pallas(qbe, sig, n, L: int, B: int, b_blk: int = 8,
 
 
 # --------------------------------------------------------------------------
-# outside kernel
-# --------------------------------------------------------------------------
-
-def _outside_kernel(
-        fe, fmb, fmc, mout, minn, taur, tau,    # cols at c
-        pstk1, p111, p21a1, p21b1, p221, pb151, pb131,   # cols at c+dj
-        qm1c, qm1m,                             # qm1 cols at c, c-1
-        qmT, q1pad, q2,                         # full inputs
-        w2k, bulge_k, sig, pows,
-        ob_o,                                   # output (col block)
-        omS, Ob, OMb, OAb, pendS, sm1S,         # scratch
-        *, L: int, B: int):
-    j = pl.program_id(1)
-    c = L - 1 - j
-
-    @pl.when(j == 0)
-    def _init():
-        omS[...] = jnp.zeros_like(omS)
-        Ob[...] = jnp.zeros_like(Ob)
-        OMb[...] = jnp.zeros_like(OMb)
-        OAb[...] = jnp.zeros_like(OAb)
-        pendS[...] = jnp.zeros_like(pendS)
-        sm1S[...] = jnp.zeros_like(sm1S)
-
-    col = lambda r: r[0]
-    sg = sig[:, 0:1]
-    sm = pows[:, 0:1]
-
-    omcol = omS[c]
-    # om1col = om1[:, c](pending) + D.T @ omcol + shift_down(qm.T @ omcol, 1)
-    qmt = jnp.zeros((B, L), F32)
-    for i in range(L):
-        qmt = qmt + qmT[i] * omcol[:, i:i + 1]
-    om1col = pendS[...] + _prefix_scan(omcol, pows, L) + _ldn(qmt, 1)
-    sm1 = om1col + sm * sm1S[...]
-    sm1S[...] = sm1
-
-    # --- ob column c ---  (q2[c+1] via one-hot: dynamic lane index)
-    lane2 = _lane_iota((B, L + 1))
-    q2c1 = jnp.sum(jnp.where(lane2 == c + 1, q2[...], 0.0), axis=1,
-                   keepdims=True)
-    obcol = q1pad[...] * col(fe) * q2c1
-    obcol = obcol + col(fmb) * sm1
-
-    # generic interior (mirror): minn * sum shift_down(OM-window, u1+1)
-    gen = jnp.zeros((B, L), F32)
-    for u1 in range(1, MAXLOOP):
-        acc = None
-        for b in range(1, MAXLOOP + 1 - u1):    # u2 = b
-            t = OMb[b] * _at(w2k, u1, b)
-            acc = t if acc is None else acc + t
-        if acc is not None:
-            gen = gen + _ldn(acc, u1 + 1)
-    obcol = obcol + gen * col(minn)
-
-    # bulges (mirror)
-    oa1 = OAb[0]
-    b5 = jnp.zeros((B, L), F32)
-    for m in range(2, MAXLOOP + 1):
-        b5 = b5 + bulge_k[:, m:m + 1] * _ldn(oa1, m + 1)
-    b3 = jnp.zeros((B, L), F32)
-    for b in range(2, W):                       # m = b
-        b3 = b3 + OAb[b] * bulge_k[:, b:b + 1]
-    obcol = obcol + col(taur) * (b5 + _ldn(b3, 1))
-
-    # small-loop specials (outer at (i - di, c + dj)); columns c+dj arrive
-    # clamped to L-1, so zero them out of range
-    for ref, di, dj in ((pstk1, 1, 1), (p111, 2, 2), (p21a1, 2, 3),
-                        (p21b1, 3, 2), (p221, 3, 3), (pb151, 2, 1),
-                        (pb131, 1, 2)):
-        pc = jnp.where(c + dj < L, col(ref), 0.0)
-        obcol = obcol + _ldn(pc * Ob[dj - 1], di)
-    obcol = _clamp(obcol)
-
-    # --- scatters feeding later (smaller-c) steps ---
-    a = obcol * col(fmc) * sg * sg
-    ash = _ldn(a, 1)
-    qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
-    w1 = _lup(qm1_cm1, 1)                       # om += outer(ash, w1)
-    w2_ = _lup(col(qm1c), 1)                    # om += outer(omcol, w2_)
-    for m in range(L):
-        omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
-
-    # pend for column c-1: shift_down(qm.T @ ash, 1)
-    qmt2 = jnp.zeros((B, L), F32)
-    for i in range(L):
-        qmt2 = qmt2 + qmT[i] * ash[:, i:i + 1]
-    pendS[...] = _ldn(qmt2, 1)
-
-    # commit windows + output
-    Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
-    OMb[...] = jnp.concatenate([(obcol * col(mout))[None], OMb[:-1]], axis=0)
-    OAb[...] = jnp.concatenate([(obcol * col(tau))[None], OAb[:-1]], axis=0)
-    _lane_write(ob_o, c, obcol)
-
-
-def outside_pallas(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k, bulge_k,
-                   sig, pows, L: int, B: int, b_blk: int = 8,
-                   interpret: bool = False):
-    """Batched outside pass -> ob in NATURAL [B, L_i, L_cols] layout.
-
-    qmT: (L_i, B, L_cols) row-major qm (as emitted by inside_pallas)."""
-    nb = B // b_blk
-    ccol = pl.BlockSpec((1, b_blk, L), lambda b, j: (L - 1 - j, b, 0))
-
-    def ahead(dj):
-        return pl.BlockSpec(
-            (1, b_blk, L),
-            lambda b, j: (jnp.minimum(L - 1 - j + dj, L - 1), b, 0))
-
-    def fall(shape):
-        return pl.BlockSpec(shape, lambda b, j: (b,) + (0,) * (len(shape) - 1))
-
-    qmT_spec = pl.BlockSpec((L, b_blk, L), lambda b, j: (0, b, 0))
-
-    f = dict(zip(FACTOR_FIELDS, factors_cbl))
-    ins = [f["fe"], f["fmb"], f["fmc"], f["mout"], f["minn"], f["taur"],
-           f["tau"], f["pstk"], f["p11"], f["p21a"], f["p21b"], f["p22"],
-           f["pb15"], f["pb13"], qm1_cbl, qm1_cbl, qmT, q1pad, q2,
-           w2k, bulge_k, sig, pows]
-    in_specs = ([ccol] * 7
-                + [ahead(dj) for dj in (1, 2, 3, 2, 3, 1, 2)]
-                + [ccol,
-                   pl.BlockSpec((1, b_blk, L),
-                                lambda b, j: (jnp.maximum(L - 2 - j, 0), b, 0)),
-                   qmT_spec, fall((b_blk, L)), fall((b_blk, L + 1)),
-                   fall((b_blk, W, W)), fall((b_blk, W)), fall((b_blk, 1)),
-                   fall((b_blk, POW2))])
-
-    return pl.pallas_call(
-        functools.partial(_outside_kernel, L=L, B=b_blk),
-        grid=(nb, L),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((b_blk, L, L), lambda b, j: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, L), F32),
-        scratch_shapes=[
-            pltpu.VMEM((L, b_blk, L), F32),     # omS
-            pltpu.VMEM((W, b_blk, L), F32),     # Ob
-            pltpu.VMEM((W, b_blk, L), F32),     # OMb
-            pltpu.VMEM((W, b_blk, L), F32),     # OAb
-            pltpu.VMEM((b_blk, L), F32),        # pendS
-            pltpu.VMEM((b_blk, L), F32),        # sm1S
-        ],
-        interpret=interpret,
-    )(*ins)
-
-
-# --------------------------------------------------------------------------
-# streamed-state kernels (long sequences, L > 256)
+# inside / outside kernels
 #
-# Same recurrences as the kernels above, with two changes that lift the VMEM
-# cap (SURVEY.md par.5 long-sequence bullet; the "streamed-state kernel
-# variant" named by batch_fold's former L<=256 error):
-#   1. every [B, L, L] output leaves the core as a per-column stream
-#      (BlockSpec (1, b_blk, L)) instead of a VMEM-resident dual-layout
-#      block -- natural layouts are restored by ONE XLA transpose outside;
-#   2. the O(L) per-column contractions against the resident qm/om scratch
-#      run as fori_loop chunks with dynamic leading-dim scratch slices and a
-#      lane-rotation (pltpu.roll) to extract the running scalar, instead of
-#      an L-deep static unroll (whose compile time is quadratic-ish in L and
-#      prohibitive past ~256).
-# Only the residual (L, b_blk, L) scratch remains resident, so b_blk scales
-# down with L (8 at 384nt, 1 at 1024nt) instead of hitting a hard wall.
+# One kernel pair serves all lengths; the `unroll` flag selects how the
+# O(L) per-column contractions against the resident qm/om scratch run:
+#   * unroll=True (short L, the default dispatch for L <= 256): L-deep
+#     static unrolls -- fastest, but compile time and Mosaic stack grow
+#     with L;
+#   * unroll=False (long L): fori_loop chunks with dynamic leading-dim
+#     scratch slices and a lane-rotation (pltpu.roll) to extract the
+#     running scalar, so compile time stays flat in L and b_blk scales
+#     down with L (8 at 384nt, 1 at 1024nt) instead of hitting a wall.
+# Every [B, L, L] output leaves the core as a per-column stream (BlockSpec
+# (1, b_blk, L)); natural layouts are restored by ONE XLA transpose outside.
 # --------------------------------------------------------------------------
 
 _CH = 8                                       # contraction chunk (leading dim)
@@ -539,8 +236,21 @@ def _inside_kernel_streamed(
         qm1c_o, qb_o, qm_o, qm2_o,              # column streams (1, B, L)
         q1_o,                                   # resident (B, L)
         qmS, Qb, Mb, Ab, qm1P, q1S,             # scratch
-        *, L: int, B: int):
+        *, L: int, B: int, unroll: bool = False):
     j = pl.program_id(1)
+
+    def contract(v):
+        # acc[b, i] = sum_l qmS[l, b, i] * v[b, l]; the callers pass v
+        # shifted up one lane, so v[:, L-1] == 0 and the unrolled sum may
+        # stop at L-2.  unroll=True (short L) trades code size for the
+        # dynamic-slice + lane-roll cost of the chunked scan, which
+        # dominates at L <= 256 (see RESULTS round 5).
+        if not unroll:
+            return _contract_scan(qmS, v, L, B)
+        acc = jnp.zeros((B, L), F32)
+        for l in range(L - 1):
+            acc = acc + qmS[l] * v[:, l:l + 1]
+        return acc
 
     @pl.when(j == 0)
     def _init():
@@ -578,7 +288,7 @@ def _inside_kernel_streamed(
     bulges = col(tau) * (b5 + _lup(b3, 1))
 
     # multiloop closing: qm2col[i] = sum_l qmS[l, :, i] * qm1_prev[:, l+1]
-    qm2col = _clamp(_contract_scan(qmS, _lup(qm1P[...], 1), L, B))
+    qm2col = _clamp(contract(_lup(qm1P[...], 1)))
 
     qbcol = (col(fhn) + gen + bulges
              + col(pstk) * _lup(Qb[W - 1], 1)
@@ -592,7 +302,7 @@ def _inside_kernel_streamed(
     qbcol = _clamp(qbcol)
 
     qm1col = _clamp(sm * qm1P[...] + qbcol * col(fmb))
-    ml2 = _contract_scan(qmS, _lup(qm1col, 1), L, B)
+    ml2 = contract(_lup(qm1col, 1))
     qmcol = _clamp(_suffix_scan(qm1col, pows, L) + ml2)
 
     lane = _lane_iota((B, L))
@@ -637,17 +347,19 @@ def _chunk_batch(call_one, b_blk: int, B: int, cbl_ins, row_ins, n_cbl_outs):
 
 
 def inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, L: int,
-                           B: int, b_blk: int, interpret: bool = False):
+                           B: int, b_blk: int, interpret: bool = False,
+                           unroll: bool = False):
     """Streamed-output inside pass: returns (qm1_c, qb_c, qm_c, qm2_c, q1)
     with the first four in column-stream (L_cols, B, L_i) layout.  qm2_c's
-    column L-1 is never written (caller fills it, as in inside_pallas)."""
-    assert L % _CH == 0, (
+    column L-1 is never written (the caller fills it).  unroll=True
+    statically unrolls the multiloop contractions (fast for short L)."""
+    assert unroll or L % _CH == 0, (
         f"streamed kernels contract in chunks of {_CH}: pad L={L} to a "
         f"multiple of {_CH} (pipeline callers bucket to multiples of 32)")
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
             lambda cbl, row: inside_pallas_streamed(
-                cbl, *row, L, b_blk, b_blk, interpret),
+                cbl, *row, L, b_blk, b_blk, interpret, unroll),
             b_blk, B, tuple(factors_cbl), (w2k, bulge_k, sig, pows), 4)
     nb = B // b_blk
     fcol = pl.BlockSpec((1, b_blk, L), lambda b, j: (j, b, 0))
@@ -659,7 +371,8 @@ def inside_pallas_streamed(factors_cbl, w2k, bulge_k, sig, pows, L: int,
 
     cmat = jax.ShapeDtypeStruct((L, B, L), F32)
     return pl.pallas_call(
-        functools.partial(_inside_kernel_streamed, L=L, B=b_blk),
+        functools.partial(_inside_kernel_streamed, L=L, B=b_blk,
+                          unroll=unroll),
         grid=(nb, L),
         in_specs=[fcol] * 15 + [fall((b_blk, W, W)), fall((b_blk, W)),
                                 fall((b_blk, 1)), fall((b_blk, POW2))],
@@ -687,9 +400,19 @@ def _outside_kernel_streamed(
         w2k, bulge_k, sig, pows,
         ob_o,                                   # column stream (1, B, L)
         omS, Ob, OMb, OAb, pendS, sm1S,
-        *, L: int, B: int):
+        *, L: int, B: int, unroll: bool = False):
     j = pl.program_id(1)
     c = L - 1 - j
+
+    def contract_qmT(v):
+        # acc[b, i] = sum_l qmT[l, b, i] * v[b, l] over the FULL l range
+        # (v is not shifted here, so lane L-1 contributes).
+        if not unroll:
+            return _contract_scan(qmT, v, L, B)
+        acc = jnp.zeros((B, L), F32)
+        for i in range(L):
+            acc = acc + qmT[i] * v[:, i:i + 1]
+        return acc
 
     @pl.when(j == 0)
     def _init():
@@ -705,7 +428,7 @@ def _outside_kernel_streamed(
     sm = pows[:, 0:1]
 
     omcol = omS[c]
-    qmt = _contract_scan(qmT, omcol, L, B)
+    qmt = contract_qmT(omcol)
     om1col = pendS[...] + _prefix_scan(omcol, pows, L) + _ldn(qmt, 1)
     sm1 = om1col + sm * sm1S[...]
     sm1S[...] = sm1
@@ -747,9 +470,13 @@ def _outside_kernel_streamed(
     qm1_cm1 = jnp.where(c >= 1, col(qm1m), 0.0)
     w1 = _lup(qm1_cm1, 1)
     w2_ = _lup(col(qm1c), 1)
-    _scatter_rank1_scan(omS, ash, w1, omcol, w2_, L, B)
+    if unroll:
+        for m in range(L):
+            omS[m] = omS[m] + ash * w1[:, m:m + 1] + omcol * w2_[:, m:m + 1]
+    else:
+        _scatter_rank1_scan(omS, ash, w1, omcol, w2_, L, B)
 
-    qmt2 = _contract_scan(qmT, ash, L, B)
+    qmt2 = contract_qmT(ash)
     pendS[...] = _ldn(qmt2, 1)
 
     Ob[...] = jnp.concatenate([obcol[None], Ob[:-1]], axis=0)
@@ -760,16 +487,16 @@ def _outside_kernel_streamed(
 
 def outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k,
                             bulge_k, sig, pows, L: int, B: int, b_blk: int,
-                            interpret: bool = False):
+                            interpret: bool = False, unroll: bool = False):
     """Streamed outside pass -> ob in column-stream (L_cols, B, L_i) layout."""
-    assert L % _CH == 0, (
+    assert unroll or L % _CH == 0, (
         f"streamed kernels contract in chunks of {_CH}: pad L={L} to a "
         f"multiple of {_CH} (pipeline callers bucket to multiples of 32)")
     if b_blk < 8 and B > b_blk:
         return _chunk_batch(
             lambda cbl, row: (outside_pallas_streamed(
                 cbl[:-2], cbl[-2], cbl[-1], *row, L, b_blk, b_blk,
-                interpret),),
+                interpret, unroll),),
             b_blk, B, tuple(factors_cbl) + (qmT, qm1_cbl),
             (q1pad, q2, w2k, bulge_k, sig, pows), 1)[0]
     nb = B // b_blk
@@ -799,7 +526,8 @@ def outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k,
                    fall((b_blk, POW2))])
 
     return pl.pallas_call(
-        functools.partial(_outside_kernel_streamed, L=L, B=b_blk),
+        functools.partial(_outside_kernel_streamed, L=L, B=b_blk,
+                          unroll=unroll),
         grid=(nb, L),
         in_specs=in_specs,
         out_specs=ccol,
@@ -816,13 +544,28 @@ def outside_pallas_streamed(factors_cbl, qmT, qm1_cbl, q1pad, q2, w2k,
     )(*ins)
 
 
-def _streamed_b_blk(L: int) -> int:
-    """Largest power-of-two b_blk <= 8 keeping the two (L, b, L) resident
-    f32 buffers of the outside pass within ~12 MB of VMEM."""
-    b = 8
-    while b > 1 and 8 * b * L * L > 12e6:
+def _auto_b_blk(L: int, B: int, bytes_per_b: float, budget: float = 12e6,
+                b_max: int = 32) -> int:
+    """Pick the batch-block depth: the largest power-of-two b_blk <= b_max
+    that (a) above 8 does not pad the batch past its next multiple of 8 and
+    (b) keeps the kernels' resident VMEM (bytes_per_b * b_blk) within
+    budget.  Deeper blocks amortize the per-grid-step pipeline overhead
+    (measured round 5: 33.8 -> 26.4 ms/fold at the bench shape going
+    8 -> 32), at 4 sublane-tiles per VPU op instead of 1."""
+    cap = max(8, -(-B // 8) * 8)
+    b = b_max
+    while b > 8 and (b > cap or bytes_per_b * b > budget):
+        b //= 2
+    while b > 1 and bytes_per_b * b > budget:
         b //= 2
     return b
+
+
+def _streamed_b_blk(L: int) -> int:
+    """VMEM-safe b_blk cap for the chunked-contraction (long-L) kernels:
+    the two (L, b, L) resident f32 buffers of the outside pass must stay
+    within ~12 MB."""
+    return _auto_b_blk(L, 1 << 30, 8 * L * L, b_max=8)
 
 
 # --------------------------------------------------------------------------
@@ -883,18 +626,15 @@ def batch_inside(params_or_bt, S, n, es, b_blk: int = 8,
     ffc = _batch_factors(bt, S, n, sig, allow, transposed=True)
     w2k, bulge_k, pows = _sig_tables(bt, sig)
     fcbl = tuple(getattr(ffc, f) for f in FACTOR_FIELDS)
-    if streamed:
-        qm1_c, qb_c, qm_c, qm2_c, q1 = inside_pallas_streamed(
-            fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
-        qb, qm, qm1 = _from_cbl(qb_c), _from_cbl(qm_c), _from_cbl(qm1_c)
-        qm2 = _from_cbl(qm2_c)
-        # column L-1 of the qm2 stream is never written; zero it (the caller
-        # overwrite below recomputes it exactly as inside_pallas does)
-        qm2 = qm2.at[:, :, L - 1].set(0.0)
-        qmT = jnp.transpose(qm, (1, 0, 2))
-    else:
-        qm1_c, qb, qm, qm1, qm2, qmT, q1 = inside_pallas(
-            fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret)
+    qm1_c, qb_c, qm_c, qm2_c, q1 = inside_pallas_streamed(
+        fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b_blk, interpret,
+        unroll=not streamed)
+    qb, qm, qm1 = _from_cbl(qb_c), _from_cbl(qm_c), _from_cbl(qm1_c)
+    qm2 = _from_cbl(qm2_c)
+    # column L-1 of the qm2 stream is never written; zero it (the caller
+    # overwrite below recomputes it exactly as ops.mccaskill.inside does)
+    qm2 = qm2.at[:, :, L - 1].set(0.0)
+    qmT = jnp.transpose(qm, (1, 0, 2))
     # last qm2 column (segment ending at L-1), as in ops.mccaskill.inside
     v = jnp.concatenate([qm1[:, 1:, L - 1], jnp.zeros((B, 1), F32)], axis=1)
     qm2 = qm2.at[:, :, L - 1].set(jnp.einsum("ibl,bl->bi", qmT, v))
@@ -925,11 +665,16 @@ def batch_fold(params, S, n, b_blk: int | None = None, max_iter: int = 8,
     blocks stay inside the 16 MB VMEM budget).
     """
     bt = get_boltz(params)
-    streamed = S.shape[1] > 256
+    L = S.shape[1]
+    streamed = L > 256
     if b_blk is None:
-        b_blk = _streamed_b_blk(S.shape[1]) if streamed else 8
+        # 12*L^2 bytes/sublane, 14.5 MB: empirical fit of the Mosaic scoped-
+        # vmem ceiling (TPU-measured round 5: b=32 compiles at L<=192,
+        # b=16 at L=256)
+        b_blk = (_streamed_b_blk(L) if streamed
+                 else _auto_b_blk(L, S.shape[0], 12 * L * L, budget=14.5e6))
     elif streamed:
-        b_blk = min(b_blk, _streamed_b_blk(S.shape[1]))
+        b_blk = min(b_blk, _streamed_b_blk(L))
     B0 = S.shape[0]
     B = -(-B0 // b_blk) * b_blk
     S = _pad_batch(jnp.asarray(S, jnp.int32), B)
@@ -967,16 +712,11 @@ def batch_fold(params, S, n, b_blk: int | None = None, max_iter: int = 8,
     L = S.shape[1]
     q1pad = jnp.concatenate([jnp.ones((B, 1), F32), ins.q1[:, :-1]], axis=1)
     fcbl = tuple(getattr(aux["ffc"], f) for f in FACTOR_FIELDS)
-    if streamed:
-        ob_c = outside_pallas_streamed(
-            fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2, aux["w2k"],
-            aux["bulge_k"], sig[:, None], aux["pows"], L, B, b_blk,
-            interpret)
-        ob = _from_cbl(ob_c)
-    else:
-        ob = outside_pallas(fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2,
-                            aux["w2k"], aux["bulge_k"], sig[:, None],
-                            aux["pows"], L, B, b_blk, interpret)
+    ob_c = outside_pallas_streamed(
+        fcbl, aux["qmT"], aux["qm1_c"], q1pad, ins.q2, aux["w2k"],
+        aux["bulge_k"], sig[:, None], aux["pows"], L, B, b_blk,
+        interpret, unroll=not streamed)
+    ob = _from_cbl(ob_c)
     zn = ins.zn
     bpp = jnp.where(zn[:, None, None] > 0, ins.qb * ob / zn[:, None, None],
                     0.0)

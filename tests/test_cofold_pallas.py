@@ -108,7 +108,7 @@ def test_batch_cofold_unequal_cuts(params):
 
 
 def test_batch_cofold_streamed_matches_jnp(params):
-    """Streamed-state cofold variant (L1+L2 > 320 path) == jnp reference.
+    """Streamed-state cofold variant (long-concatenation path, L1+L2 > 256) == jnp reference.
 
     Forces streamed=True at a small L so interpret mode stays fast; the
     auto-dispatch threshold itself is exercised by construction in

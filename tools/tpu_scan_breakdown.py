@@ -53,16 +53,18 @@ def transpose_fn(ff):
 fcbl = timeit("15 transposes", transpose_fn, ff)
 
 for b_blk in (8, 16, 32, 64, 128):
-    fn = jax.jit(lambda fcbl, w2k, bulge_k, sig, pows, b=b_blk: sp.inside_pallas(
-        fcbl, w2k, bulge_k, sig[:, None], pows, L, B, b, False))
+    fn = jax.jit(lambda fcbl, w2k, bulge_k, sig, pows, b=b_blk:
+                 sp.inside_pallas_streamed(fcbl, w2k, bulge_k, sig[:, None],
+                                           pows, L, B, b, False, unroll=True))
     try:
-        out = timeit(f"inside_pallas b{b_blk}", fn, fcbl, w2k, bulge_k, sig,
+        out = timeit(f"inside b{b_blk}", fn, fcbl, w2k, bulge_k, sig,
                      pows)
     except Exception as e:
         print(f"inside b{b_blk} FAILED: {str(e)[:200]}", flush=True)
 
-qb_c, qm_c, qm1_c, qm2_c, q1 = out
+qm1_c, qb_c, qm_c, qm2_c, q1 = out
 qb = sp._from_cbl(qb_c)
+qmT = jnp.transpose(sp._from_cbl(qm_c), (1, 0, 2))
 qbe = qb * ff.fe
 q1pad = jnp.concatenate([jnp.ones((B, 1), jnp.float32), q1[:, :-1]], axis=1)
 
@@ -71,12 +73,12 @@ fnq2 = jax.jit(lambda qbe, sig, n: sp.q2_pallas(
 q2 = timeit("q2_pallas b8", fnq2, qbe, sig, n)
 
 for b_blk in (8, 32, 128):
-    fno = jax.jit(lambda fcbl, qm_c, qm1_c, q1pad, q2, w2k, bulge_k, sig,
-                  pows, b=b_blk: sp.outside_pallas(
-                      fcbl, qm_c, qm1_c, q1pad, q2, w2k, bulge_k,
-                      sig[:, None], pows, L, B, b, False))
+    fno = jax.jit(lambda fcbl, qmT, qm1_c, q1pad, q2, w2k, bulge_k, sig,
+                  pows, b=b_blk: sp.outside_pallas_streamed(
+                      fcbl, qmT, qm1_c, q1pad, q2, w2k, bulge_k,
+                      sig[:, None], pows, L, B, b, False, unroll=True))
     try:
-        timeit(f"outside_pallas b{b_blk}", fno, fcbl, qm_c, qm1_c, q1pad, q2,
+        timeit(f"outside b{b_blk}", fno, fcbl, qmT, qm1_c, q1pad, q2,
                w2k, bulge_k, sig, pows)
     except Exception as e:
         print(f"outside b{b_blk} FAILED: {str(e)[:200]}", flush=True)

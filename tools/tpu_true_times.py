@@ -46,8 +46,9 @@ def inside_sum(b_blk):
         ff = sp._batch_factors(bt, S, n, sig)
         w2k, bulge_k, pows = sp._sig_tables(bt, sig)
         fcbl = tuple(sp._to_cbl(getattr(ff, fld)) for fld in sp.FACTOR_FIELDS)
-        outs = sp.inside_pallas(fcbl, w2k, bulge_k, sig[:, None], pows, L, B,
-                                b_blk, False)
+        outs = sp.inside_pallas_streamed(fcbl, w2k, bulge_k, sig[:, None],
+                                         pows, L, B, b_blk, False,
+                                         unroll=True)
         return sum(jnp.sum(t) for t in outs)
     return f
 
