@@ -72,8 +72,14 @@ def pytest_runtestloop(session):
     # CPU); bound each file and retry once in a fresh process before failing
     file_timeout = int(os.environ.get("RACTIP_TPU_FILE_TIMEOUT", "1800"))
     failed = []
+    markexpr = session.config.getoption("-m", default="") or ""
+    keyword = session.config.getoption("-k", default="") or ""
     for f in files:
         args = [sys.executable, "-m", "pytest", f, "-q"]
+        if markexpr:
+            args += ["-m", markexpr]   # keep e.g. the `-m smoke` fast tier
+        if keyword:
+            args += ["-k", keyword]
         if xfirst:
             args.append("-x")
         rc = None

@@ -34,17 +34,20 @@ ap.add_argument("--iters", type=int, default=4000)
 ap.add_argument("--acc-max", action="store_true", default=True)
 ap.add_argument("--offset", type=int, default=445)
 ap.add_argument("--seed", type=int, default=11)
+ap.add_argument("--pair", default="OxyS:fhlA", metavar="SRNA:TARGET",
+                help="bundled-corpus names, e.g. CopA:CopT")
 args = ap.parse_args()
 
 _D = data_dir_default()
-srna = load_fasta(_D + "/OxyS.fa")[0].seq
-frag = load_fasta(_D + "/fhlA.fa")[0].seq
+_s, _t = args.pair.split(":")
+srna = load_fasta(f"{_D}/{_s}.fa")[0].seq
+frag = load_fasta(f"{_D}/{_t}.fa")[0].seq
 rng = np.random.default_rng(args.seed)
 flank = lambda k: "".join(rng.choice(list("ACGU"), k))
 mrna = flank(args.offset) + frag + flank(args.tlen - args.offset - len(frag))
 assert len(mrna) == args.tlen
-print(f"sRNA OxyS {len(srna)}nt x target {len(mrna)}nt "
-      f"(real fhlA at [{args.offset}, {args.offset + len(frag)}))")
+print(f"sRNA {_s} {len(srna)}nt x target {len(mrna)}nt "
+      f"(real {_t} at [{args.offset}, {args.offset + len(frag)}))")
 
 params = get_default_params()
 opts = Options(acc_max=args.acc_max)
@@ -75,4 +78,4 @@ ext2 = [j for j, ch in enumerate(r2) if ch == "]"]
 print(f"external pairs: {len(ext1)}; sRNA sites {ext1}")
 print(f"target site span: {min(ext2) if ext2 else None}.."
       f"{max(ext2) if ext2 else None} "
-      f"(real fhlA fragment spans {args.offset}..{args.offset + len(frag)})")
+      f"(real {_t} fragment spans {args.offset}..{args.offset + len(frag)})")
