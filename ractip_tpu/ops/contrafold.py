@@ -44,6 +44,7 @@ from ..constants import MAXLOOP
 from ..params.contrafold import CFTables, get_cf_tables
 
 W = MAXLOOP + 1          # single-branch loop window (l1, l2 in 0..30)
+D_HELIX = 30             # D_MAX_HELIX_LENGTH (reference Config.hpp:222)
 NEG = -1e30
 
 
@@ -58,10 +59,18 @@ def _shift_up(v, k):
     return jnp.concatenate([v[k:], jnp.full(pad_shape, NEG, v.dtype)], axis=0)
 
 
+def _shift_up0(v, k):
+    """out[i] = v[i+k] along axis 0, zero fill (for additive perturbations)."""
+    k = min(k, v.shape[0])
+    pad_shape = (k,) + v.shape[1:]
+    return jnp.concatenate([v[k:], jnp.zeros(pad_shape, v.dtype)], axis=0)
+
+
 @partial(jax.jit, static_argnums=(3, 5, 7))
 def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
              eps: jnp.ndarray, semiring: str = "sum",
-             allow=None, emit_tables: bool = False) -> jnp.ndarray:
+             allow=None, emit_tables: bool = False,
+             helix=None) -> jnp.ndarray:
     """log partition function of the CONTRAfold CRF; eps is an [Lp+1, Lp+1]
     perturbation added to every ScoreBasePair(a, b) (1-based).
 
@@ -70,8 +79,26 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
     same recurrences in the max-plus semiring).  allow (optional [Lp, Lp]
     bool, 0-based) restricts the ensemble to structures whose pairs satisfy
     allow[i, j] -- the engine's constraint mask (reference
-    InferenceEngine.ipp:1870 UseConstraints / allow_paired)."""
+    InferenceEngine.ipp:1870 UseConstraints / allow_paired).
+
+    helix (optional (length_at_least [D_HELIX+1], isolated scalar)) switches
+    on the non-default PARAMS_HELIX_LENGTH / PARAMS_ISOLATED_BASE_PAIR
+    feature groups (reference Config.hpp:136-137 "complex" profile): the FC
+    recursion splits into FN (pair, next interaction not a stack), FE
+    (stacking extension beyond length D) and a helix-rollout FC that scores
+    each maximal helix with cumulative helix_length_at_least weights and
+    length-1 helices with the isolated-base-pair weight (reference
+    InferenceEngine.ipp:3414-3555 inside recursion, ScoreHelix :2203-2235,
+    cache init :1127-1131).  With zero weights the decomposition spans the
+    same ensemble as the default grammar, scores unchanged."""
     dtype = eps.dtype
+    use_helix = helix is not None
+    if use_helix:
+        assert not emit_tables, "helix features: tables emission unsupported"
+        hl_at_least, iso_score = helix
+        # cache_score_helix_length[m] = sum_{t<=m} helix_length_at_least[t]
+        hl = jnp.cumsum(jnp.asarray(hl_at_least, dtype))
+        iso_score = jnp.asarray(iso_score, dtype)
     if semiring == "max":
         lse2 = jnp.maximum
         lsev = lambda x, axis=None: jnp.max(x, axis=axis)
@@ -117,8 +144,14 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
     #          + dangle_r[s_j, s_{k+1}, s_k]      (edge guards via N-zeros)
     # JB(i, j) = closing[s_i, s_{j+1}] + tm[s_i, s_{j+1}, s_{i+1}, s_j]
 
+    # extended 1-based sequence for the helix-rollout row gathers s[i+t]
+    sext = jnp.concatenate([s, jnp.zeros((D_HELIX,), S.dtype)])
+
     def column(carry, j):
-        FCwin, FMmat, FMT, F5 = carry
+        if use_helix:
+            FCwin, FNwin, FEwin, FMmat, FMT, F5 = carry
+        else:
+            FCwin, FMmat, FMT, F5 = carry
         # FCwin[:, d] = FC[:, j-1-d]; FMmat[:, k] = FM[:, k] for k < j
         sj = s[j]
         sjp1 = s[j + 1]
@@ -199,10 +232,50 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
                  + tb.dangle_r[s0, sjp1, sj])
         multi = FMT_new + ja_ij + tb.multi_paired + tb.multi_base
 
-        fc = jnp.where(
-            okFC,
-            lse2(lse2(hairpin, stk), lse2(single, multi)),
-            NEG)
+        if not use_helix:
+            fc = jnp.where(
+                okFC,
+                lse2(lse2(hairpin, stk), lse2(single, multi)),
+                NEG)
+        else:
+            # ---- FN / FE / helix-rollout FC (reference ipp:3414-3555) ------
+            # FN[i,j]: pair (i,j+1), next interaction NOT a stacking pair --
+            # the default grammar minus the stack term (`single` already
+            # excludes the l1=0,l2=0 case).
+            fn = jnp.where(okFC, lse2(lse2(hairpin, single), multi), NEG)
+            # FE[i,j] = BP(i+1,j)+HelixStacking(i,j+1)+FE[i+1,j-1]  (+)  FN
+            fe_stk = jnp.where(okP & (idx + 2 <= j),
+                               _shift_up(FEwin[:, 0], 1) + bp_col + stack_sc,
+                               NEG)
+            fe = jnp.where(okFC, lse2(fe_stk, fn), NEG)
+            # FC[i,j] = Isolated + FN(i,j)
+            #   (+) sum_{k=2}^{D-1} ScoreHelix(i-1,j+1,k) + FN(i+k-1,j-k+1)
+            #   (+) ScoreHelix(i-1,j+1,D) + FE(i+D-1,j-D+1)
+            # ScoreHelix(i-1,j+1,k) = hl[k] + sum_{t=1}^{k-1}
+            #   HelixStacking(i+t-1,j-t+2) + BP(i+t,j-t+1)   (ipp:2203-2235)
+            run = jnp.zeros((L1,), dtype)
+            contribs = [iso_score + fn]
+            for k in range(2, D_HELIX + 1):
+                t = k - 1
+                a_s = sext[idx + t]                     # s[i+t]
+                a_sm1 = sext[idx + t - 1]               # s[i+t-1]
+                q1 = jnp.clip(j - t + 1, 0, Lp + 1)     # partner j-t+1
+                q2 = jnp.clip(j - t + 2, 0, Lp + 1)
+                hs_t = tb.stack[a_sm1, s[q2], a_s, s[q1]]
+                eps_t = _shift_up0(jax.lax.dynamic_slice(
+                    eps_pad, (0, j - t + 1 + W), (L1, 1))[:, 0], t)
+                bp_t = tb.bp[a_s, s[q1]] + eps_t
+                ok_t = (pairable[jnp.clip(idx + t, 0, Lp),
+                                 jnp.clip(j - t + 1, 0, Lp)]
+                        & (idx + t <= Lp) & (j - t + 1 >= 1))
+                run = run + jnp.where(ok_t, hs_t + bp_t, NEG)
+                span_ok = idx + 2 * k - 2 <= j
+                if k < D_HELIX:
+                    inner = _shift_up(FNwin[:, k - 2], k - 1)
+                else:
+                    inner = _shift_up(FEwin[:, D_HELIX - 2], D_HELIX - 1)
+                contribs.append(jnp.where(span_ok, run + hl[k] + inner, NEG))
+            fc = jnp.where(okFC, lsev(jnp.stack(contribs, 0), axis=0), NEG)
 
         # ---- F5 --------------------------------------------------------------
         extcol = fmh - tb.multi_paired + tb.ext_paired
@@ -214,6 +287,10 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
         FCwin = jnp.concatenate([fc[:, None], FCwin[:, :-1]], axis=1)
         FMmat = jax.lax.dynamic_update_slice(FMmat, fm[:, None], (0, j))
         ys = (fc, FMT_new) if emit_tables else None
+        if use_helix:
+            FNwin = jnp.concatenate([fn[:, None], FNwin[:, :-1]], axis=1)
+            FEwin = jnp.concatenate([fe[:, None], FEwin[:, :-1]], axis=1)
+            return (FCwin, FNwin, FEwin, FMmat, FMT_new, F5), ys
         return (FCwin, FMmat, FMT_new, F5), ys
 
     FCwin0 = jnp.full((L1, W), NEG, dtype)
@@ -221,8 +298,14 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
     FMT0 = jnp.full((L1,), NEG, dtype)
     F50 = jnp.concatenate([jnp.zeros((1,), dtype),
                            jnp.full((Lp,), NEG, dtype)])
-    (_, FMmat, _, F5), ys = jax.lax.scan(
-        column, (FCwin0, FMmat0, FMT0, F50), jnp.arange(1, Lp + 1))
+    if use_helix:
+        carry0 = (FCwin0, jnp.full((L1, W), NEG, dtype),
+                  jnp.full((L1, W), NEG, dtype), FMmat0, FMT0, F50)
+        (_, _, _, FMmat, _, F5), ys = jax.lax.scan(
+            column, carry0, jnp.arange(1, Lp + 1))
+    else:
+        (_, FMmat, _, F5), ys = jax.lax.scan(
+            column, (FCwin0, FMmat0, FMT0, F50), jnp.arange(1, Lp + 1))
     if emit_tables:
         # FCstack[j-1] = fc column of step j (pairs (i, j+1));
         # FMTstack[j-1] = FMT column after step j
@@ -230,34 +313,53 @@ def _cf_logz(tables: CFTables, S: jnp.ndarray, n: jnp.ndarray, Lp: int,
     return F5[Lp]
 
 
+def cf_helix_features(length_at_least=None, isolated=0.0):
+    """Assemble the non-default PARAMS_HELIX_LENGTH / PARAMS_ISOLATED_BASE_PAIR
+    feature weights (reference Config.hpp:136-137 "complex" profile,
+    RegisterParameters ipp:555-580): length_at_least is the [D_HELIX+1]
+    helix_length_at_least_i increment vector (index 0 unused by the grammar,
+    kept for index parity with the reference cache), isolated the
+    isolated_base_pair weight.  The shipped parameter files carry no trained
+    values for these groups (the reference compiles them out), so weights are
+    caller-supplied; zeros reproduce the default grammar exactly."""
+    la = jnp.zeros((D_HELIX + 1,)) if length_at_least is None \
+        else jnp.asarray(length_at_least)
+    assert la.shape == (D_HELIX + 1,), la.shape
+    return la, jnp.asarray(isolated)
+
+
 def cf_logz(S, n, model: str = "complementary", dtype=jnp.float64,
-            allow=None):
+            allow=None, helix=None):
     """log Z of the CONTRAfold ensemble for encoded sequence S (padded, [Lp]).
 
     allow (optional [Lp, Lp] bool) is the engine's constraint mask
-    (reference InferenceEngine.ipp:1870 UseConstraints)."""
+    (reference InferenceEngine.ipp:1870 UseConstraints); helix (optional,
+    from cf_helix_features) switches on the helix-length/isolated-pair
+    feature groups."""
     Lp = S.shape[0]
     tables = get_cf_tables(model)
     eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
     return _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32), Lp,
-                    eps, "sum", allow)
+                    eps, "sum", allow, False, helix)
 
 
 def cf_base_pair_probs(S, n, model: str = "complementary",
-                       dtype=jnp.float64, allow=None) -> jnp.ndarray:
+                       dtype=jnp.float64, allow=None, helix=None) -> jnp.ndarray:
     """[Lp, Lp] posterior P(i pairs j) (0-based, upper+lower symmetric zeroed
     to upper triangle like the reference's triangular bp export).
 
     Posterior = d logZ / d eps where eps perturbs ScoreBasePair -- reverse-mode
     through the inside scan IS the outside algorithm (reference
     InferenceEngine.ipp:3731-4087 + :4498 hand-derive the same adjoint).
+    With helix features on, eps also perturbs every rolled-out helix pair,
+    so the adjoint covers the FN/FE/FC split too.
     """
     Lp = S.shape[0]
     tables = get_cf_tables(model)
     eps = jnp.zeros((Lp + 1, Lp + 1), dtype)
     g = jax.grad(lambda e: _cf_logz(tables, jnp.asarray(S),
                                     jnp.asarray(n, jnp.int32), Lp, e,
-                                    "sum", allow))(eps)
+                                    "sum", allow, False, helix))(eps)
     return g[1:, 1:]
 
 
@@ -277,7 +379,7 @@ def cf_unpaired_probs(bpp: jnp.ndarray) -> jnp.ndarray:
 
 
 def cf_viterbi(S, n, model: str = "complementary", dtype=jnp.float64,
-               allow=None):
+               allow=None, helix=None):
     """(score, pairing) of the maximum-scoring structure.
 
     TPU-native traceback: the max-plus score is the zero-temperature logZ,
@@ -304,7 +406,7 @@ def cf_viterbi(S, n, model: str = "complementary", dtype=jnp.float64,
     eps = eps.astype(dtype)
     score, g = jax.value_and_grad(
         lambda e: _cf_logz(tables, jnp.asarray(S), jnp.asarray(n, jnp.int32),
-                           Lp, e, "max", allow))(eps)
+                           Lp, e, "max", allow, False, helix))(eps)
     ind = g[1:, 1:]                 # 0-based pair indicators, exact 0/1
     score = score - jnp.sum(jnp.where(ind > 0.5, eps[1:, 1:], 0.0))
     mapping = -jnp.ones((Lp,), jnp.int32)

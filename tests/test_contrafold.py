@@ -346,3 +346,110 @@ def test_cf_loss_augmented_viterbi():
     s_true = score_structure(tb, seq, y_true)
     m = cf_margin(S, n, mt, fp=fp, fn=fn)
     assert float(m) == pytest.approx(max(0.0, best - s_true), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# non-default feature groups: PARAMS_HELIX_LENGTH / PARAMS_ISOLATED_BASE_PAIR
+# (reference Config.hpp:136-137 "complex" profile; FN/FE/FC rollout
+# recursion InferenceEngine.ipp:3414-3555, ScoreHelix :2203-2235)
+# --------------------------------------------------------------------------
+
+
+def helix_extra(pairs, hl_at_least, iso, D=30):
+    """Oracle helix-length score: each maximal stacked run of length m adds
+    isolated (m==1), cache_hl[m] (2<=m<D) or cache_hl[D] (m>=D), where
+    cache_hl[m] = sum_{t<=m} helix_length_at_least[t] (ipp:1127-1131,
+    FC recursion :3525-3555)."""
+    ps = set(pairs)
+    hl = np.cumsum(hl_at_least)
+    extra = 0.0
+    for (a, b) in pairs:
+        if (a - 1, b + 1) in ps:
+            continue                       # not a helix start
+        m = 0
+        while (a + m, b - m) in ps:
+            m += 1
+        extra += iso if m == 1 else hl[min(m, D)]
+    return extra
+
+
+def _helix_weights(seed=7):
+    rng = np.random.default_rng(seed)
+    la = rng.normal(0, 0.25, size=31)
+    iso = float(rng.normal(0, 0.5))
+    return la, iso
+
+
+@pytest.mark.parametrize("seq", ["GGCGAAAACGUCC", "GGGGAAAACCCC"])
+def test_cf_helix_features_vs_enumeration(seq):
+    """logZ/bpp with nonzero helix-length + isolated weights == enumeration
+    with the per-maximal-helix oracle scoring."""
+    from ractip_tpu.ops.contrafold import cf_helix_features
+    tb = np_tables()
+    la, iso = _helix_weights()
+    n = len(seq)
+    scores, plist = [], []
+    for pairs in enum_structures(seq):
+        sc = score_structure(tb, seq, pairs)
+        if sc is not None:
+            scores.append(sc + helix_extra(pairs, la, iso))
+            plist.append(pairs)
+    scores = np.array(scores)
+    m = scores.max()
+    w = np.exp(scores - m)
+    z = w.sum()
+    logz_o = np.log(z) + m
+    bpp_o = np.zeros((n, n))
+    for wk, pairs in zip(w, plist):
+        for (a, b) in pairs:
+            bpp_o[a - 1, b - 1] += wk / z
+    S = encode(seq, n + 2)
+    h = cf_helix_features(la, iso)
+    logz = cf_logz(S, n, helix=h)
+    assert float(logz) == pytest.approx(logz_o, abs=1e-9), seq
+    bpp = np.asarray(cf_base_pair_probs(S, n, helix=h))[:n, :n]
+    np.testing.assert_allclose(bpp, bpp_o, atol=1e-9)
+
+
+@pytest.mark.parametrize("seq", ["GGCGAAAACGUCC", "GGGGAAAACCCC"])
+def test_cf_helix_viterbi_vs_enumeration(seq):
+    """Max semiring + gradient traceback under helix features == brute-force
+    argmax; strongly negative isolated weight suppresses length-1 helices."""
+    from ractip_tpu.ops.contrafold import cf_helix_features, cf_viterbi
+    tb = np_tables()
+    la, iso = _helix_weights(seed=11)
+    iso = -5.0                             # forbid isolated pairs outright
+    n = len(seq)
+    best, bestp = None, None
+    for pairs in enum_structures(seq):
+        sc = score_structure(tb, seq, pairs)
+        if sc is None:
+            continue
+        sc += helix_extra(pairs, la, iso)
+        if best is None or sc > best:
+            best, bestp = sc, pairs
+    S = encode(seq, n + 2)
+    score, mapping = cf_viterbi(S, n, helix=cf_helix_features(la, iso))
+    assert float(score) == pytest.approx(best, abs=1e-8), seq
+    mp = np.asarray(mapping)
+    pairs = sorted((i + 1, int(mp[i]) + 1) for i in range(n)
+                   if 0 <= mp[i] and i < mp[i])
+    sc = score_structure(tb, seq, pairs) + helix_extra(pairs, la, iso)
+    assert sc == pytest.approx(best, abs=1e-8)
+
+
+def test_cf_helix_zero_weights_long_helix():
+    """Zero-weight helix grammar == default grammar on a sequence whose
+    optimum is a >=D_HELIX-long helix (exercises the FE extension table)."""
+    from ractip_tpu.ops.contrafold import cf_helix_features
+    seq = "G" * 34 + "AAAA" + "C" * 34
+    n = len(seq)
+    S = encode(seq, n)
+    h0 = cf_helix_features()
+    z0, z1 = cf_logz(S, n), cf_logz(S, n, helix=h0)
+    assert float(z0) == pytest.approx(float(z1), rel=1e-12)
+    b0 = np.asarray(cf_base_pair_probs(S, n))
+    b1 = np.asarray(cf_base_pair_probs(S, n, helix=h0))
+    np.testing.assert_allclose(b1, b0, atol=1e-9)
+    # the ensemble really contains >=30-stack helices
+    assert b0[2, n - 3] > 0.5
